@@ -1,0 +1,112 @@
+"""The fused two-stage GNN layer and GAT attention op.
+
+The reference's single hardware call computes
+``D = ReLU?(ADJ_csr x (FEA x W))`` as a two-stage dataflow pipeline with the
+intermediate ``XW`` tile kept on-chip (``mmult_wrapper``,
+``src/kernelMatrixmult_all.cpp:3629-3752``). On TPU the same fusion is
+delivered by XLA (matmul + gather/segment-sum fuse through HBM) or by the
+Pallas fused kernel; this module is the dispatch point and defines the
+differentiation semantics that mirror the reference's autograd functions.
+
+Gradient semantics (matching ``FPYNQ_GAT.backward``, sgrace.py:883-1126):
+
+- ``grad_X = att @ (gO @ W^T)``, ``grad_W = X^T @ (att @ gO)`` — the
+  attention/adjacency matrix is treated as constant for X/W gradients.
+- The attention *parameters* get exact gradients through the softmax Jacobian
+  (``dx = att*s; grad_e = dx - att*sum(dx)`` — sgrace.py:979-981) and the
+  LeakyReLU derivative (sgrace.py:1011).
+
+Both fall out of standard JAX autodiff by stopping the gradient of ``Wh``
+inside the attention-score computation (the score path then only carries
+gradient to the attention vector, exactly the reference's approximation),
+so no hand-written VJP is needed on the XLA path; the Pallas kernels define
+custom VJPs built from these same primitives.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from sgracex1_tpu.graph.csr import SparseMatrix
+from sgracex1_tpu.ops.spmm import spmm
+from sgracex1_tpu.ops.sddmm import sddmm, leaky_relu, edge_softmax
+
+
+def relu_hw(x: jax.Array) -> jax.Array:
+    """ReLU with the reference's "hardware-style" gradient: the backward
+    masks where the *saved output* is zero (``RPYNQ.backward`` masks
+    ``input == 0`` on the post-relu tensor — sgrace.py:282-294). For
+    ``max(x, 0)`` this is the standard subgradient with g=0 at x=0."""
+    return jnp.where(x > 0, x, jnp.zeros_like(x))
+
+
+def gnn_layer(
+    A: SparseMatrix,
+    X: jax.Array,
+    W: jax.Array,
+    *,
+    relu: bool = False,
+    accum_dtype=jnp.float32,
+) -> jax.Array:
+    """GCN layer: ``ReLU?(A @ (X @ W))`` — reference gemm_mode 0/1 fused call.
+
+    ``X`` may be a dense array (gemm_mode=1) — the sparse-feature fast path
+    (gemm_mode=0) is a storage-level concern handled by the caller keeping X
+    sparse on the host; on TPU the dense MXU matmul is the fast path for all
+    feature matrices that fit.
+    """
+    H = jnp.dot(X, W, preferred_element_type=accum_dtype).astype(X.dtype)
+    out = spmm(A, H, accum_dtype=accum_dtype)
+    return relu_hw(out) if relu else out
+
+
+def gat_attention(
+    A: SparseMatrix,
+    Wh: jax.Array,
+    a_src: jax.Array,
+    a_dst: jax.Array,
+    *,
+    alpha: float = 0.2,
+    straight_through_scores: bool = True,
+) -> tuple[jax.Array, jax.Array]:
+    """Per-edge GAT attention: returns (edge_logits e, edge_probs s).
+
+    These are the sparse analogues of the demo bitstream's E (pre-softmax
+    logits) and S (softmax probabilities) output buffers (sgrace.py:501-539).
+
+    With ``straight_through_scores`` (the default), ``Wh`` is gradient-stopped
+    inside the score computation so X/W receive no gradient through the
+    attention weights — matching the reference backward (see module doc).
+    """
+    Wh_s = jax.lax.stop_gradient(Wh) if straight_through_scores else Wh
+    e = leaky_relu(sddmm(A, Wh_s, a_src, a_dst), alpha)
+    s = edge_softmax(A, e)
+    return e, s
+
+
+def gat_layer(
+    A: SparseMatrix,
+    X: jax.Array,
+    W: jax.Array,
+    attention: jax.Array,
+    *,
+    alpha: float = 0.2,
+    relu: bool = False,
+    accum_dtype=jnp.float32,
+) -> jax.Array:
+    """Full GAT layer: attention-weighted aggregation of ``Wh = X @ W``.
+
+    ``attention`` is the reference's single [2*F, 1]-shaped attention vector
+    (``GATConv_SGRACE`` params, sgrace.py:1178): the first F entries score the
+    source (row) node, the last F the destination (column) node.
+    """
+    F = W.shape[1]
+    a = attention.reshape(-1)
+    Wh = jnp.dot(X, W, preferred_element_type=accum_dtype).astype(X.dtype)
+    _, s = gat_attention(A, Wh, a[:F], a[F:], alpha=alpha)
+    att_mat = A.with_vals(s.astype(A.vals.dtype))
+    out = spmm(att_mat, Wh, accum_dtype=accum_dtype)
+    return relu_hw(out) if relu else out

@@ -1,0 +1,78 @@
+"""Numerical parity vs the reference's recorded outputs.
+
+Two anchors (SURVEY.md §4.1-2):
+1. The HLS csim log (citeseer, P_w=32, relu=0) records kernel outputs for
+   probe rows — our `gnn_layer` must match them at fp16 tolerance.
+2. The scipy cross-check of mmult-master.ipynb: `adj @ (fea @ W)` with
+   np.allclose(atol=0.1) at fp16; we check much tighter in fp32.
+"""
+
+import os
+import re
+
+import numpy as np
+import pytest
+
+from sgracex1_tpu.graph import io
+from sgracex1_tpu.ops.fused_gnn import gnn_layer
+from sgracex1_tpu.ops.spmm import spmm
+
+CSIM_LOG = (
+    "/root/reference/gnn-rfsoc-mt-all-2022/hls/gnn/solution1/gnn/solution1/"
+    "csim/report/mmult_top_csim.log"
+)
+
+needs_reference = pytest.mark.skipif(
+    io.reference_data_dir() is None, reason="reference datasets not mounted"
+)
+
+
+def _parse_csim_log(path):
+    """Parse 'out :data index= I J kernel = V' lines -> {(i, j): v}."""
+    probes = {}
+    pat = re.compile(r"index=\s+(\d+)\s+(\d+)\s+kernel\s+=\s+(-?[\d.e+-]+)")
+    with open(path) as f:
+        for line in f:
+            m = pat.search(line)
+            if m:
+                probes[(int(m.group(1)), int(m.group(2)))] = float(m.group(3))
+    return probes
+
+
+@needs_reference
+@pytest.mark.skipif(not os.path.exists(CSIM_LOG), reason="csim log not mounted")
+def test_citeseer_matches_csim_probes():
+    adj, fea, w = io.load_reference_dataset("citeseer")
+    X = np.asarray(fea.to_dense())
+    out = np.asarray(gnn_layer(adj, X, w.astype(np.float32), relu=False))
+    probes = _parse_csim_log(CSIM_LOG)
+    assert len(probes) >= 40
+    for (i, j), v in probes.items():
+        # csim computed in half precision; allow fp16 quantization error
+        assert abs(out[i, j] - v) < 5e-3 + 5e-3 * abs(v), (i, j, out[i, j], v)
+
+
+@needs_reference
+@pytest.mark.parametrize("name", ["mol", "cora", "citeseer"])
+def test_dataset_forward_matches_scipy(name):
+    """The mmult-master.ipynb cross-check: A @ (X @ W) vs scipy."""
+    adj, fea, w = io.load_reference_dataset(name)
+    X = np.asarray(fea.to_dense())
+    out = np.asarray(gnn_layer(adj, X, w.astype(np.float32), relu=False))
+    expect = adj.to_scipy() @ (fea.to_scipy() @ w)
+    np.testing.assert_allclose(out, expect, atol=1e-3, rtol=1e-3)
+
+
+@needs_reference
+def test_sparse_feature_path_equals_dense(rng):
+    """gemm_mode 0 (sparse features) and 1 (dense features) agree."""
+    adj, fea, w = io.load_reference_dataset("mol")
+    X = np.asarray(fea.to_dense())
+    dense_out = np.asarray(gnn_layer(adj, X, w, relu=True))
+    # sparse path: XW via spmm on the feature matrix
+    import jax.numpy as jnp
+
+    H = np.asarray(spmm(fea, jnp.asarray(w)))
+    sparse_out = np.asarray(spmm(adj, jnp.asarray(H)))
+    sparse_out = np.maximum(sparse_out, 0)
+    np.testing.assert_allclose(dense_out, sparse_out, rtol=1e-4, atol=1e-4)
