@@ -169,6 +169,18 @@ class SparseMatrix:
     def astype(self, dtype) -> "SparseMatrix":
         return dataclasses.replace(self, vals=self.vals.astype(dtype))
 
+    def pad_edges_to(self, e_pad: int) -> "SparseMatrix":
+        """Re-pad the edge arrays to a larger static length (so batches of
+        different sizes share one compiled program)."""
+        assert e_pad >= self.e_pad
+        pad = e_pad - self.e_pad
+        if pad == 0:
+            return self
+        z = lambda a: np.concatenate([np.asarray(a), np.zeros(pad, a.dtype)])
+        return dataclasses.replace(
+            self, rows=z(self.rows), cols=z(self.cols), vals=z(self.vals)
+        )
+
     def device(self, device=None) -> "SparseMatrix":
         """Move all arrays to a device in one explicit step."""
         if device is None:

@@ -1,0 +1,219 @@
+"""Datasets: synthetic generators (always available) and parsers for the
+dataset formats the reference trains on (Planetoid, TU/MUTAG — gated on the
+raw files being present, since this framework vendors no data).
+
+The reference trains on Planetoid Cora/Citeseer/Pubmed and Amazon Photo via
+torch_geometric (demo_sgrace.py:57-125) and on MUTAG for molecule graph
+classification (Graph_Classification.ipynb). The synthetic generators give
+CI-stable analogues with the same shapes/task structure so the training
+loops and accuracy anchors are exercised without network access.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import pickle
+import sys
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from sgracex1_tpu.graph.batch import GraphSample
+
+
+@dataclasses.dataclass(frozen=True)
+class NodeClassificationData:
+    """One graph + node labels + split masks (Planetoid-style)."""
+
+    edge_index: np.ndarray  # [2, E]
+    x: np.ndarray  # [N, F]
+    y: np.ndarray  # int[N]
+    train_mask: np.ndarray
+    val_mask: np.ndarray
+    test_mask: np.ndarray
+
+    @property
+    def num_nodes(self) -> int:
+        return self.x.shape[0]
+
+    @property
+    def num_features(self) -> int:
+        return self.x.shape[1]
+
+    @property
+    def num_classes(self) -> int:
+        return int(self.y.max()) + 1
+
+
+# --------------------------------------------------------------------------
+# synthetic generators
+# --------------------------------------------------------------------------
+
+
+def sbm_node_classification(
+    n: int = 400,
+    num_classes: int = 4,
+    num_features: int = 32,
+    p_in: float = 0.06,
+    p_out: float = 0.005,
+    feature_noise: float = 1.0,
+    seed: int = 0,
+    train_frac: float = 0.6,
+    val_frac: float = 0.2,
+) -> NodeClassificationData:
+    """Stochastic-block-model graph with class-correlated sparse features.
+
+    Features mimic planetoid: non-negative, sparse, bag-of-words-like —
+    matching the reference's unsigned feature quantization assumption
+    (f_min=0, sgrace.py:1342).
+    """
+    rng = np.random.default_rng(seed)
+    y = rng.integers(0, num_classes, n)
+    same = y[:, None] == y[None, :]
+    p = np.where(same, p_in, p_out)
+    upper = np.triu(rng.random((n, n)) < p, k=1)
+    adj = upper | upper.T
+    rows, cols = np.nonzero(adj)
+    edge_index = np.stack([rows, cols]).astype(np.int64)
+
+    centers = rng.random((num_classes, num_features)) * 2.0
+    x = centers[y] + feature_noise * rng.random((n, num_features))
+    x = np.maximum(x - 1.0, 0.0).astype(np.float32)  # sparse, non-negative
+
+    perm = rng.permutation(n)
+    n_tr, n_va = int(n * train_frac), int(n * val_frac)
+    train_mask = np.zeros(n, bool)
+    val_mask = np.zeros(n, bool)
+    test_mask = np.zeros(n, bool)
+    train_mask[perm[:n_tr]] = True
+    val_mask[perm[n_tr : n_tr + n_va]] = True
+    test_mask[perm[n_tr + n_va :]] = True
+    return NodeClassificationData(edge_index, x, y, train_mask, val_mask, test_mask)
+
+
+def synthetic_molecules(
+    num_graphs: int = 188,
+    num_features: int = 7,
+    seed: int = 0,
+) -> List[GraphSample]:
+    """MUTAG-shaped graph-classification set: class = cycle vs tree motif,
+    one-hot node-type features (MUTAG has 7 atom types, 188 graphs)."""
+    rng = np.random.default_rng(seed)
+    graphs = []
+    for i in range(num_graphs):
+        label = int(rng.random() < 0.5)
+        n = int(rng.integers(10, 28))
+        if label == 1:
+            # ring + pendant nodes
+            ring = max(3, n - int(rng.integers(0, 5)))
+            src = np.arange(ring)
+            dst = (src + 1) % ring
+            extra_s = rng.integers(0, ring, n - ring)
+            extra_d = np.arange(ring, n)
+            rows = np.concatenate([src, extra_s])
+            cols = np.concatenate([dst, extra_d])
+        else:
+            # random tree
+            parents = np.array([rng.integers(0, k) for k in range(1, n)])
+            rows = parents
+            cols = np.arange(1, n)
+        ei = np.stack(
+            [np.concatenate([rows, cols]), np.concatenate([cols, rows])]
+        ).astype(np.int64)
+        types = rng.integers(0, num_features, n)
+        x = np.eye(num_features, dtype=np.float32)[types]
+        graphs.append(GraphSample(edge_index=ei, x=x, y=label))
+    return graphs
+
+
+# --------------------------------------------------------------------------
+# real dataset parsers (gated on files)
+# --------------------------------------------------------------------------
+
+
+def load_planetoid(root: str, name: str) -> NodeClassificationData:
+    """Parse the raw Planetoid pickle format (ind.<name>.{x,y,tx,ty,allx,
+    ally,graph,test.index}) — what torch_geometric downloads for
+    Cora/Citeseer/Pubmed."""
+    import scipy.sparse as sp
+
+    name = name.lower()
+
+    def read(suffix):
+        path = os.path.join(root, f"ind.{name}.{suffix}")
+        if suffix == "test.index":
+            return np.loadtxt(path, dtype=np.int64)
+        with open(path, "rb") as f:
+            return pickle.load(f, encoding="latin1")
+
+    x, y, tx, ty, allx, ally, graph = (
+        read(s) for s in ["x", "y", "tx", "ty", "allx", "ally", "graph"]
+    )
+    test_idx = read("test.index")
+    test_sorted = np.sort(test_idx)
+
+    if name == "citeseer":  # citeseer has isolated test nodes; reindex
+        full = np.arange(test_sorted[0], test_sorted[-1] + 1)
+        tx_full = sp.lil_matrix((len(full), x.shape[1]))
+        tx_full[test_sorted - test_sorted[0]] = tx
+        tx = tx_full
+        ty_full = np.zeros((len(full), y.shape[1]))
+        ty_full[test_sorted - test_sorted[0]] = ty
+        ty = ty_full
+        test_idx = full
+
+    features = sp.vstack([allx, tx]).tolil()
+    features[test_idx] = features[test_sorted]
+    labels = np.vstack([ally, ty])
+    labels[test_idx] = labels[test_sorted]
+
+    n = labels.shape[0]
+    rows, cols = [], []
+    for src, dsts in graph.items():
+        for d in dsts:
+            rows.append(src)
+            cols.append(d)
+    edge_index = np.stack([np.array(rows), np.array(cols)]).astype(np.int64)
+    # symmetrize + dedup
+    und = np.concatenate([edge_index, edge_index[::-1]], axis=1)
+    edge_index = np.unique(und, axis=1)
+
+    y_int = labels.argmax(axis=1).astype(np.int64)
+    train_mask = np.zeros(n, bool)
+    val_mask = np.zeros(n, bool)
+    test_mask = np.zeros(n, bool)
+    train_mask[: y.shape[0]] = True
+    val_mask[y.shape[0] : y.shape[0] + 500] = True
+    test_mask[test_sorted] = True
+    return NodeClassificationData(
+        edge_index,
+        np.asarray(features.todense(), dtype=np.float32),
+        y_int,
+        train_mask,
+        val_mask,
+        test_mask,
+    )
+
+
+def load_tu_dataset(root: str, name: str = "MUTAG") -> List[GraphSample]:
+    """Parse the TU graph-kernel format (MUTAG_A.txt etc.)."""
+    pre = os.path.join(root, name, "raw", name)
+    if not os.path.exists(pre + "_A.txt"):
+        pre = os.path.join(root, name)
+    edges = np.loadtxt(pre + "_A.txt", delimiter=",", dtype=np.int64) - 1
+    gid = np.loadtxt(pre + "_graph_indicator.txt", dtype=np.int64) - 1
+    glabels = np.loadtxt(pre + "_graph_labels.txt", dtype=np.int64)
+    glabels = (glabels > 0).astype(np.int64)  # MUTAG labels are {-1, 1}
+    nlabels = np.loadtxt(pre + "_node_labels.txt", dtype=np.int64)
+    num_types = int(nlabels.max()) + 1
+
+    graphs = []
+    for g in range(int(gid.max()) + 1):
+        nodes = np.nonzero(gid == g)[0]
+        lo, n = nodes[0], len(nodes)
+        emask = (gid[edges[:, 0]] == g) & (gid[edges[:, 1]] == g)
+        ei = (edges[emask] - lo).T.astype(np.int64)
+        x = np.eye(num_types, dtype=np.float32)[nlabels[nodes]]
+        graphs.append(GraphSample(edge_index=ei, x=x, y=int(glabels[g])))
+    return graphs

@@ -1,0 +1,155 @@
+"""Neural-net layers: GCN / GAT convolutions with optional quantized datapath.
+
+TPU-native re-design of the reference's ``GATConv_SGRACE`` / ``Relu_SGRACE``
+modules (``demo/sgrace_lib/sgrace.py:1146-1265``) and the forward math of
+``FPYNQ_GAT`` (``sgrace.py:301-681``). One layer = one fused
+``ReLU?(agg @ (X @ W))`` where agg is the normalized adjacency (GCN) or the
+attention matrix (GAT) — the reference's single accelerator call.
+
+Quantized mode reproduces the emulation datapath (``sgrace.py:563-681``):
+fake-quantize features (unsigned) and weights/attention (signed), emulate the
+internal fixed-point pipeline after X@W, quantize the adjacency values, and
+dequantize the output by ``deq_o``. All quantization uses straight-through
+gradients; the reference gets the same effect by wrapping the layer in a
+custom autograd Function whose backward ignores quantization entirely
+(``FPYNQ_GAT.backward``). One documented deviation: our gradients contract
+against the *quantized* operands (standard STE-QAT), while the reference
+saves pre-quantization tensors for its handwritten backward; the two agree
+as quantization error -> 0 and are validated against the same accuracy
+anchors.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from sgracex1_tpu.graph.csr import SparseMatrix
+from sgracex1_tpu.ops.spmm import spmm
+from sgracex1_tpu.ops.sddmm import sddmm, leaky_relu, edge_softmax
+from sgracex1_tpu.ops.fused_gnn import relu_hw
+from sgracex1_tpu.quant.affine import (
+    fake_quant_signed,
+    fake_quant_unsigned,
+    internal_fixed_point,
+    ste,
+)
+from sgracex1_tpu.quant.calibration import LayerQuantParams
+
+
+def _xavier_gain(gain: float = 1.414):
+    """Xavier uniform with the reference's gain (init.xavier_uniform_ with
+    gain=1.414, sgrace.py:1177-1179)."""
+
+    def init(key, shape, dtype=jnp.float32):
+        fan_in, fan_out = shape[0], shape[-1]
+        a = gain * (6.0 / (fan_in + fan_out)) ** 0.5
+        return jax.random.uniform(key, shape, dtype, -a, a)
+
+    return init
+
+
+class ReluHW(nn.Module):
+    """Standalone ReLU module (``Relu_SGRACE``). On the accelerator the relu
+    is fused into the previous layer's write-out; here it's the same fused
+    ``relu_hw`` the layers use — kept as a module for API parity."""
+
+    @nn.compact
+    def __call__(self, x):
+        return relu_hw(x)
+
+
+class GCNConv(nn.Module):
+    """GCN convolution: ``ReLU?(A_hat @ (X @ W))``.
+
+    Equivalent to the reference layer with ``compute_attention=0``
+    (``gat_mode=0`` register). ``quant`` enables the fake-quant datapath.
+    """
+
+    in_features: int
+    out_features: int
+    quant: Optional[LayerQuantParams] = None
+    use_bias: bool = False
+
+    @nn.compact
+    def __call__(self, A: SparseMatrix, x: jax.Array, *, relu: bool = False):
+        W = self.param(
+            "weight", _xavier_gain(), (self.in_features, self.out_features)
+        )
+        q = self.quant
+        if q is not None:
+            x = fake_quant_unsigned(x, q.features, q.w_qbits)
+            W = fake_quant_signed(W, q.weights, q.w_qbits)
+        Wh = jnp.dot(x, W, preferred_element_type=jnp.float32)
+        if q is not None:
+            Wh = internal_fixed_point(Wh, q.scale_fea, q.internal_quantization)
+            A = A.with_vals(fake_quant_unsigned(A.vals, q.adjacency, q.w_qbits))
+        out = spmm(A, Wh)
+        if self.use_bias:
+            out = out + self.param("bias", nn.initializers.zeros, (self.out_features,))
+        if relu:
+            out = relu_hw(out)
+        if q is not None:
+            out = ste(out, out * q.deq_o)
+        return out
+
+
+class GATConv(nn.Module):
+    """GAT convolution (``GATConv_SGRACE``): multi-head attention aggregation.
+
+    Parameters mirror the reference: one weight ``[in, out*nheads]`` and one
+    attention vector ``[2*out*nheads, 1]`` (sgrace.py:1176-1179). Heads are
+    computed batched via reshape (the reference's head_count is declared "not
+    in use" — demo/emulation/config.py:18 — we implement it for real) and
+    concatenated.
+    """
+
+    in_features: int
+    out_features: int
+    nheads: int = 1
+    alpha: float = 0.2
+    quant: Optional[LayerQuantParams] = None
+
+    @nn.compact
+    def __call__(self, A: SparseMatrix, x: jax.Array, *, relu: bool = False):
+        F, H = self.out_features, self.nheads
+        W = self.param("weight", _xavier_gain(), (self.in_features, F * H))
+        att = self.param("attention", _xavier_gain(), (2 * F * H, 1))
+
+        q = self.quant
+        a_vals = A.vals
+        if q is not None:
+            x = fake_quant_unsigned(x, q.features, q.w_qbits)
+            W = fake_quant_signed(W, q.weights, q.w_qbits)
+            att = fake_quant_signed(att, q.weights, q.w_qbits)
+            a_vals = fake_quant_unsigned(A.vals, q.adjacency, q.w_qbits)
+            A = A.with_vals(a_vals)
+
+        Wh = jnp.dot(x, W, preferred_element_type=jnp.float32)  # [N, F*H]
+        if q is not None:
+            Wh = internal_fixed_point(Wh, q.scale_fea, q.internal_quantization)
+
+        # per-head attention: a = [a_src (F*H), a_dst (F*H)]
+        a = att.reshape(-1)
+        Wh_heads = Wh.reshape(-1, H, F)  # [N, H, F]
+        a_src = a[: F * H].reshape(H, F)
+        a_dst = a[F * H :].reshape(H, F)
+
+        Wh_sg = jax.lax.stop_gradient(Wh_heads)
+        outs = []
+        for h in range(H):
+            e = leaky_relu(
+                sddmm(A, Wh_sg[:, h, :], a_src[h], a_dst[h]), self.alpha
+            )
+            s = edge_softmax(A, e)
+            outs.append(spmm(A.with_vals(s), Wh_heads[:, h, :]))
+        out = jnp.concatenate(outs, axis=-1)  # [N, F*H]
+
+        if relu:
+            out = relu_hw(out)
+        if q is not None:
+            out = ste(out, out * q.deq_o)
+        return out

@@ -1,0 +1,129 @@
+"""Model families from the reference.
+
+- ``GATModel`` / ``GCNModel``: the 2-layer node-classification network of
+  ``GAT_PYNQ`` (``demo/emulation/demo_sgrace.py:271-399``): conv1 with fused
+  relu, conv2 without, dropout(0.5), Linear head. Layer 1 consumes (possibly
+  sparse-on-host) input features, layer 2 dense hidden features — the
+  reference's per-layer ``dense=0/1`` execution modes collapse on TPU where
+  the dense MXU path is the fast path for both.
+- ``MoleculeGCN``: the molecule graph-classification network of the
+  Graph_Classification notebook (``jupyter/molecule_gcn``, cells 14-20):
+  2x GCNConv + global mean pool over the graph batch + dropout + Linear.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from sgracex1_tpu.graph.csr import SparseMatrix
+from sgracex1_tpu.nn.layers import GCNConv, GATConv
+from sgracex1_tpu.quant.calibration import CalibrationTable
+
+
+def global_mean_pool(x: jax.Array, graph_ids: jax.Array, num_graphs: int):
+    """Mean of node embeddings per graph (PyG global_mean_pool equivalent)."""
+    sums = jax.ops.segment_sum(x, graph_ids, num_segments=num_graphs)
+    counts = jax.ops.segment_sum(
+        jnp.ones((x.shape[0], 1), x.dtype), graph_ids, num_segments=num_graphs
+    )
+    return sums / jnp.maximum(counts, 1.0)
+
+
+class GCNModel(nn.Module):
+    """2-layer GCN for node classification (GAT_PYNQ with attention off)."""
+
+    num_features: int
+    hidden_channels: int
+    num_classes: int
+    calibration: Optional[CalibrationTable] = None
+    dropout: float = 0.5
+
+    @nn.compact
+    def __call__(self, A: SparseMatrix, x, *, training: bool = False):
+        cal = self.calibration
+        q1 = cal.layer_params(0) if cal else None
+        q2 = cal.layer_params(1) if cal else None
+        x = GCNConv(self.num_features, self.hidden_channels, quant=q1)(
+            A, x, relu=True
+        )
+        x = GCNConv(self.hidden_channels, self.hidden_channels, quant=q2)(
+            A, x, relu=False
+        )
+        x = nn.Dropout(self.dropout, deterministic=not training)(x)
+        return nn.Dense(self.num_classes)(x)
+
+
+class GATModel(nn.Module):
+    """2-layer GAT for node classification (GAT_PYNQ, compute_attention=1)."""
+
+    num_features: int
+    hidden_channels: int
+    num_classes: int
+    nheads: int = 1
+    alpha: float = 0.2
+    calibration: Optional[CalibrationTable] = None
+    dropout: float = 0.5
+
+    @nn.compact
+    def __call__(self, A: SparseMatrix, x, *, training: bool = False):
+        cal = self.calibration
+        q1 = cal.layer_params(0) if cal else None
+        q2 = cal.layer_params(1) if cal else None
+        x = GATConv(
+            self.num_features,
+            self.hidden_channels,
+            nheads=self.nheads,
+            alpha=self.alpha,
+            quant=q1,
+        )(A, x, relu=True)
+        x = GATConv(
+            self.hidden_channels * self.nheads,
+            self.hidden_channels,
+            nheads=1,
+            alpha=self.alpha,
+            quant=q2,
+        )(A, x, relu=False)
+        x = nn.Dropout(self.dropout, deterministic=not training)(x)
+        return nn.Dense(self.num_classes)(x)
+
+
+class MoleculeGCN(nn.Module):
+    """2-layer GCN + global mean pool for graph classification (MUTAG-style).
+
+    Mirrors GCN_PYNQ of the molecule notebook: conv1(relu fused), conv2,
+    global_mean_pool, dropout(0.5), linear head; trained with Adam lr=0.01
+    to the 0.76-accuracy-by-epoch-36 anchor (README.md:127-129).
+    """
+
+    num_features: int
+    hidden_channels: int
+    num_classes: int
+    calibration: Optional[CalibrationTable] = None
+    dropout: float = 0.5
+
+    @nn.compact
+    def __call__(
+        self,
+        A: SparseMatrix,
+        x,
+        graph_ids,
+        num_graphs: int,
+        *,
+        training: bool = False,
+    ):
+        cal = self.calibration
+        q1 = cal.layer_params(0) if cal else None
+        q2 = cal.layer_params(1) if cal else None
+        x = GCNConv(self.num_features, self.hidden_channels, quant=q1)(
+            A, x, relu=True
+        )
+        x = GCNConv(self.hidden_channels, self.hidden_channels, quant=q2)(
+            A, x, relu=False
+        )
+        x = global_mean_pool(x, graph_ids, num_graphs)
+        x = nn.Dropout(self.dropout, deterministic=not training)(x)
+        return nn.Dense(self.num_classes)(x)

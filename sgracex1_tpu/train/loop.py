@@ -1,0 +1,200 @@
+"""Training loops: node classification (Planetoid-style full graph) and
+graph classification (molecule batches).
+
+Mirrors the reference's training drivers: Adam with the qbits-dependent
+learning-rate rule (demo_sgrace.py:433-443), cross-entropy loss, per-epoch
+accuracy tracking, best-model checkpointing (demo_sgrace.py:595-610). All
+steps are jitted; the graph stays device-resident across epochs.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax.training import train_state
+
+from sgracex1_tpu.config import SGRACEConfig
+from sgracex1_tpu.graph.batch import GraphBatch
+from sgracex1_tpu.graph.csr import SparseMatrix
+from sgracex1_tpu.graph.datasets import NodeClassificationData
+from sgracex1_tpu.graph.normalize import sym_norm
+
+
+class TrainState(train_state.TrainState):
+    pass
+
+
+def create_train_state(
+    model, rng, init_args, learning_rate: float
+) -> TrainState:
+    params = model.init(rng, *init_args)
+    tx = optax.adam(learning_rate)
+    return TrainState.create(apply_fn=model.apply, params=params, tx=tx)
+
+
+@dataclasses.dataclass
+class History:
+    train_acc: List[float] = dataclasses.field(default_factory=list)
+    test_acc: List[float] = dataclasses.field(default_factory=list)
+    loss: List[float] = dataclasses.field(default_factory=list)
+    best_test_acc: float = 0.0
+    best_params: Optional[dict] = None
+
+
+def _masked_xent(logits, y, mask):
+    ls = optax.softmax_cross_entropy_with_integer_labels(logits, y)
+    return jnp.sum(ls * mask) / jnp.maximum(jnp.sum(mask), 1.0)
+
+
+def train_node_classifier(
+    model,
+    data: NodeClassificationData,
+    cfg: SGRACEConfig,
+    *,
+    seed: int = 12345,
+    log_every: int = 0,
+) -> Tuple[TrainState, History]:
+    """Full-graph node classification (the reference's emulation driver)."""
+    A = sym_norm(data.edge_index, data.num_nodes).device()
+    x = jnp.asarray(data.x)
+    y = jnp.asarray(data.y)
+    masks = {
+        k: jnp.asarray(getattr(data, f"{k}_mask").astype(np.float32))
+        for k in ("train", "test")
+    }
+
+    rng = jax.random.PRNGKey(seed)
+    rng, init_rng = jax.random.split(rng)
+    state = create_train_state(
+        model, init_rng, (A, x), cfg.resolved_learning_rate()
+    )
+
+    @jax.jit
+    def step(state, dropout_rng):
+        def loss_fn(params):
+            logits = state.apply_fn(
+                params, A, x, training=True, rngs={"dropout": dropout_rng}
+            )
+            return _masked_xent(logits, y, masks["train"]), logits
+
+        (loss, logits), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params
+        )
+        state = state.apply_gradients(grads=grads)
+        return state, loss, logits
+
+    @jax.jit
+    def evaluate(state):
+        logits = state.apply_fn(state.params, A, x, training=False)
+        pred = jnp.argmax(logits, -1)
+        accs = {}
+        for k, m in masks.items():
+            accs[k] = jnp.sum((pred == y) * m) / jnp.maximum(jnp.sum(m), 1.0)
+        return accs
+
+    hist = History()
+    for epoch in range(cfg.num_epochs):
+        rng, drng = jax.random.split(rng)
+        state, loss, _ = step(state, drng)
+        accs = evaluate(state)
+        tr, te = float(accs["train"]), float(accs["test"])
+        hist.loss.append(float(loss))
+        hist.train_acc.append(tr)
+        hist.test_acc.append(te)
+        if te > hist.best_test_acc:
+            hist.best_test_acc = te
+            hist.best_params = jax.device_get(state.params)
+        if log_every and (epoch + 1) % log_every == 0:
+            print(
+                f"epoch {epoch + 1:03d} loss {float(loss):.4f} "
+                f"train {tr:.4f} test {te:.4f}"
+            )
+    return state, hist
+
+
+def train_graph_classifier(
+    model,
+    train_batches: Sequence[GraphBatch],
+    test_batches: Sequence[GraphBatch],
+    cfg: SGRACEConfig,
+    *,
+    seed: int = 12345,
+    log_every: int = 0,
+) -> Tuple[TrainState, History]:
+    """Graph classification (the molecule notebook's train()/test() loops,
+    Adam lr=0.01, cross-entropy — Graph_Classification.ipynb cell 20)."""
+    b0 = train_batches[0]
+    dev_batches = [jax.device_put(b) for b in train_batches]
+    dev_test = [jax.device_put(b) for b in test_batches]
+
+    rng = jax.random.PRNGKey(seed)
+    rng, init_rng = jax.random.split(rng)
+    lr = cfg.learning_rate if cfg.learning_rate is not None else 0.01
+    state = create_train_state(
+        model,
+        init_rng,
+        (b0.A, jnp.asarray(b0.x), jnp.asarray(b0.graph_ids), b0.num_graphs),
+        lr,
+    )
+
+    @jax.jit
+    def step(state, batch: GraphBatch, dropout_rng):
+        def loss_fn(params):
+            logits = state.apply_fn(
+                params,
+                batch.A,
+                batch.x,
+                batch.graph_ids,
+                batch.num_graphs,
+                training=True,
+                rngs={"dropout": dropout_rng},
+            )
+            return _masked_xent(
+                logits, batch.y, batch.label_mask.astype(jnp.float32)
+            )
+
+        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        return state.apply_gradients(grads=grads), loss
+
+    @jax.jit
+    def count_correct(state, batch: GraphBatch):
+        logits = state.apply_fn(
+            state.params,
+            batch.A,
+            batch.x,
+            batch.graph_ids,
+            batch.num_graphs,
+            training=False,
+        )
+        pred = jnp.argmax(logits, -1)
+        m = batch.label_mask
+        return jnp.sum((pred == batch.y) * m), jnp.sum(m)
+
+    def accuracy(batches):
+        c = t = 0
+        for b in batches:
+            ci, ti = count_correct(state, b)
+            c += int(ci)
+            t += int(ti)
+        return c / max(t, 1)
+
+    hist = History()
+    for epoch in range(cfg.num_epochs):
+        for b in dev_batches:
+            rng, drng = jax.random.split(rng)
+            state, loss = step(state, b, drng)
+        tr, te = accuracy(dev_batches), accuracy(dev_test)
+        hist.loss.append(float(loss))
+        hist.train_acc.append(tr)
+        hist.test_acc.append(te)
+        if te > hist.best_test_acc:
+            hist.best_test_acc = te
+            hist.best_params = jax.device_get(state.params)
+        if log_every and (epoch + 1) % log_every == 0:
+            print(f"epoch {epoch + 1:03d} train {tr:.4f} test {te:.4f}")
+    return state, hist
