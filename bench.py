@@ -1,0 +1,114 @@
+"""Headline benchmark: Citeseer 1-layer GNN forward D = A @ (X @ W).
+
+Reference baseline: 4.65 ms on the RFSoC FPGA (1 FEA-thread / 1 ADJ-thread /
+2 CUs, fp16) — jupyter/test/mmult-master.ipynb cell 34; see BASELINE.md.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} where
+vs_baseline is the speedup factor over the 4.65 ms baseline.
+
+Timing methodology: the TPU relay in this environment has ~25 ms round-trip
+sync latency and async dispatch that `block_until_ready` does not fully
+cover, so the op is iterated K times inside one jitted fori_loop with a data
+dependence, synced once via host readback, and the 1-iteration baseline is
+subtracted (see .claude/skills/verify/SKILL.md).
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+BASELINE_MS = 4.65  # FPGA citeseer 1t1t2c (BASELINE.md)
+CITESEER = dict(N=3327, M=3703, P=32, NNZ_ADJ=12431, NNZ_FEA=105165)
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def load_citeseer():
+    from sgracex1_tpu.graph import io
+
+    if io.reference_data_dir() is not None:
+        adj, fea, w = io.load_reference_dataset("citeseer")
+        return adj, np.asarray(fea.to_dense()), w
+    # synthetic with identical dims/sparsity if reference data not mounted
+    from sgracex1_tpu.graph.csr import SparseMatrix
+
+    rng = np.random.default_rng(0)
+    c = CITESEER
+    r = rng.integers(0, c["N"], c["NNZ_ADJ"])
+    cl = rng.integers(0, c["N"], c["NNZ_ADJ"])
+    adj = SparseMatrix.from_coo(
+        r, cl, rng.random(c["NNZ_ADJ"]).astype(np.float32), (c["N"], c["N"])
+    )
+    X = np.zeros((c["N"], c["M"]), np.float32)
+    ri = rng.integers(0, c["N"], c["NNZ_FEA"])
+    ci = rng.integers(0, c["M"], c["NNZ_FEA"])
+    X[ri, ci] = 1.0
+    w = rng.standard_normal((c["M"], c["P"])).astype(np.float32) * 0.1
+    return adj, X, w
+
+
+def timed_loop(step, init, iters=200, reps=5):
+    """Median wall time per iteration of `step`, amortized inside one jit."""
+    import jax
+    import jax.numpy as jnp
+
+    def run(k):
+        @jax.jit
+        def f(x0):
+            return jax.lax.fori_loop(0, k, lambda i, x: step(x), x0)
+
+        float(jnp.sum(f(init)))  # compile + warm
+        ts = []
+        for _ in range(reps):
+            t = time.time()
+            float(jnp.sum(f(init)))
+            ts.append(time.time() - t)
+        return np.median(ts)
+
+    tk, t1 = run(iters), run(1)
+    return (tk - t1) / (iters - 1)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    log("devices:", jax.devices())
+    adj, X, w = load_citeseer()
+    adj = adj.device()
+    X = jax.device_put(X)
+    W = jax.device_put(w.astype(np.float32))
+
+    from sgracex1_tpu.ops.spmm import spmm
+
+    def layer_step(x):
+        h = jnp.dot(x, W, preferred_element_type=jnp.float32)
+        out = spmm(adj, h)
+        # data dependence to stop loop-invariant hoisting: feed the output
+        # back into the (zero-padded) leading columns of x
+        return x.at[:, : out.shape[1]].add(out * 1e-12)
+
+    sec = timed_loop(layer_step, X)
+    ms = sec * 1000.0
+    edges_per_s = CITESEER["NNZ_ADJ"] / sec
+    log(f"citeseer layer fwd: {ms:.4f} ms  ({edges_per_s/1e6:.0f} M adj-edges/s)")
+    print(
+        json.dumps(
+            dict(
+                metric="citeseer_layer_fwd_ms",
+                value=round(ms, 4),
+                unit="ms",
+                vs_baseline=round(BASELINE_MS / ms, 2),
+            )
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
