@@ -85,14 +85,19 @@ def main():
     X = jax.device_put(X)
     W = jax.device_put(w.astype(np.float32))
 
-    from sgracex1_tpu.ops.spmm import spmm
+    from sgracex1_tpu.ops.dispatch import prepare_adjacency, agg_matmul
+
+    prep = prepare_adjacency(adj, method="auto")
+    log("aggregation backend:", prep.kind)
+    X = X.astype(jnp.bfloat16)
+    W = W.astype(jnp.bfloat16)
 
     def layer_step(x):
         h = jnp.dot(x, W, preferred_element_type=jnp.float32)
-        out = spmm(adj, h)
+        out = agg_matmul(prep, h.astype(jnp.bfloat16))
         # data dependence to stop loop-invariant hoisting: feed the output
-        # back into the (zero-padded) leading columns of x
-        return x.at[:, : out.shape[1]].add(out * 1e-12)
+        # back into the leading columns of x (slice update, not scatter)
+        return x.at[:, : out.shape[1]].add(out.astype(x.dtype) * 1e-12)
 
     sec = timed_loop(layer_step, X)
     ms = sec * 1000.0

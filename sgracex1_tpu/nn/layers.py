@@ -31,6 +31,12 @@ from sgracex1_tpu.graph.csr import SparseMatrix
 from sgracex1_tpu.ops.spmm import spmm
 from sgracex1_tpu.ops.sddmm import sddmm, leaky_relu, edge_softmax
 from sgracex1_tpu.ops.fused_gnn import relu_hw
+from sgracex1_tpu.ops.dispatch import (
+    PreparedAdjacency,
+    agg_matmul,
+    agg_matmul_with_vals,
+    map_adjacency_vals,
+)
 from sgracex1_tpu.quant.affine import (
     fake_quant_signed,
     fake_quant_unsigned,
@@ -38,6 +44,34 @@ from sgracex1_tpu.quant.affine import (
     ste,
 )
 from sgracex1_tpu.quant.calibration import LayerQuantParams
+
+
+Adjacency = object  # SparseMatrix | PreparedAdjacency (duck-typed dispatch)
+
+
+def _agg(A, H):
+    """A @ H for either container."""
+    if isinstance(A, PreparedAdjacency):
+        return agg_matmul(A, H)
+    return spmm(A, H)
+
+
+def _agg_vals(A, vals, H):
+    """A(vals) @ H with runtime edge values for either container."""
+    if isinstance(A, PreparedAdjacency):
+        return agg_matmul_with_vals(A, vals, H)
+    return spmm(A.with_vals(vals), H)
+
+
+def _edges(A) -> SparseMatrix:
+    return A.A if isinstance(A, PreparedAdjacency) else A
+
+
+def _quantize_adj(A, fn):
+    """Apply an elementwise quantizer to adjacency values (fn(0) == 0)."""
+    if isinstance(A, PreparedAdjacency):
+        return map_adjacency_vals(A, fn)
+    return A.with_vals(fn(A.vals))
 
 
 def _xavier_gain(gain: float = 1.414):
@@ -75,7 +109,7 @@ class GCNConv(nn.Module):
     use_bias: bool = False
 
     @nn.compact
-    def __call__(self, A: SparseMatrix, x: jax.Array, *, relu: bool = False):
+    def __call__(self, A, x: jax.Array, *, relu: bool = False):
         W = self.param(
             "weight", _xavier_gain(), (self.in_features, self.out_features)
         )
@@ -86,8 +120,10 @@ class GCNConv(nn.Module):
         Wh = jnp.dot(x, W, preferred_element_type=jnp.float32)
         if q is not None:
             Wh = internal_fixed_point(Wh, q.scale_fea, q.internal_quantization)
-            A = A.with_vals(fake_quant_unsigned(A.vals, q.adjacency, q.w_qbits))
-        out = spmm(A, Wh)
+            A = _quantize_adj(
+                A, lambda v: fake_quant_unsigned(v, q.adjacency, q.w_qbits)
+            )
+        out = _agg(A, Wh)
         if self.use_bias:
             out = out + self.param("bias", nn.initializers.zeros, (self.out_features,))
         if relu:
@@ -114,19 +150,20 @@ class GATConv(nn.Module):
     quant: Optional[LayerQuantParams] = None
 
     @nn.compact
-    def __call__(self, A: SparseMatrix, x: jax.Array, *, relu: bool = False):
+    def __call__(self, A, x: jax.Array, *, relu: bool = False):
         F, H = self.out_features, self.nheads
         W = self.param("weight", _xavier_gain(), (self.in_features, F * H))
         att = self.param("attention", _xavier_gain(), (2 * F * H, 1))
 
         q = self.quant
-        a_vals = A.vals
         if q is not None:
             x = fake_quant_unsigned(x, q.features, q.w_qbits)
             W = fake_quant_signed(W, q.weights, q.w_qbits)
             att = fake_quant_signed(att, q.weights, q.w_qbits)
-            a_vals = fake_quant_unsigned(A.vals, q.adjacency, q.w_qbits)
-            A = A.with_vals(a_vals)
+            A = _quantize_adj(
+                A, lambda v: fake_quant_unsigned(v, q.adjacency, q.w_qbits)
+            )
+        A_e = _edges(A)
 
         Wh = jnp.dot(x, W, preferred_element_type=jnp.float32)  # [N, F*H]
         if q is not None:
@@ -142,10 +179,10 @@ class GATConv(nn.Module):
         outs = []
         for h in range(H):
             e = leaky_relu(
-                sddmm(A, Wh_sg[:, h, :], a_src[h], a_dst[h]), self.alpha
+                sddmm(A_e, Wh_sg[:, h, :], a_src[h], a_dst[h]), self.alpha
             )
-            s = edge_softmax(A, e)
-            outs.append(spmm(A.with_vals(s), Wh_heads[:, h, :]))
+            s = edge_softmax(A_e, e)
+            outs.append(_agg_vals(A, s, Wh_heads[:, h, :]))
         out = jnp.concatenate(outs, axis=-1)  # [N, F*H]
 
         if relu:

@@ -1,0 +1,205 @@
+"""Aggregation backend dispatch.
+
+One adjacency, three execution strategies — the analogue of the reference's
+compile-time datatype/thread configs (matrix_mult.h), chosen at prepare time
+instead of synthesis time:
+
+- 'dense': the adjacency is materialized as a dense bf16 matrix once and
+  aggregation is a single MXU matmul. The fastest path for graphs up to
+  ~12k nodes (measured 3-4x over gather/scatter at citeseer size) — and an
+  honest reflection of the reference's own regime, which is capped at
+  N <= 6144 on-chip (matrix_mult.h:43-45).
+- 'pallas': the tiled one-hot double-matmul kernel (ops/pallas_spmm.py) for
+  large graphs.
+- 'xla': gather + segment_sum (ops/spmm.py) — fallback, always correct,
+  differentiates natively.
+
+prepare_adjacency runs on the host once per graph; agg_matmul is the in-jit
+dispatch. The dense matrix is built host-side and chunk-uploaded: scatter
+ops (even jitted) are pathologically slow on the TPU backend used here.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sgracex1_tpu.graph.csr import SparseMatrix
+from sgracex1_tpu.ops.spmm import spmm, spmm_t
+from sgracex1_tpu.ops.pallas_spmm import (
+    SpMMPlan,
+    plan_spmm,
+    plan_with_vals,
+    spmm_pallas,
+)
+from sgracex1_tpu.utils.transfer import chunked_device_put
+
+DENSE_MAX_BYTES = 512 << 20  # dense bf16 adjacency budget (~16k nodes)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class PreparedAdjacency:
+    """An adjacency prepared for a specific aggregation backend.
+
+    Always carries the COO arrays (edge-level ops — GAT attention — need
+    them regardless of the matmul backend). The pallas backend carries a
+    separately-built transpose plan for the backward pass (a transposed
+    schedule cannot be derived in-jit: group ordering must follow the
+    *output* row blocks).
+    """
+
+    A: SparseMatrix
+    dense: Optional[jax.Array]
+    plan: Optional[SpMMPlan]
+    plan_t: Optional[SpMMPlan]
+    kind: str = dataclasses.field(metadata=dict(static=True))
+
+    @property
+    def n_rows(self) -> int:
+        return self.A.n_rows
+
+    def with_vals(self, vals: jax.Array) -> "SparseMatrix":
+        """Edge-value substitution (attention weights) — returns the COO
+        matrix; attention aggregation uses the edge path."""
+        return self.A.with_vals(vals)
+
+
+def prepare_adjacency(
+    A: SparseMatrix,
+    *,
+    method: str = "auto",
+    dense_max_bytes: int = DENSE_MAX_BYTES,
+    dense_dtype=jnp.bfloat16,
+    rb: int = 1024,
+    cb: int = 1024,
+    be: int = 1024,
+) -> PreparedAdjacency:
+    """Choose and precompute the aggregation backend for a graph."""
+    n = max(A.n_rows, A.n_cols)
+    if method == "auto":
+        itemsize = jnp.dtype(dense_dtype).itemsize
+        method = "dense" if n * n * itemsize <= dense_max_bytes else "pallas"
+
+    if method == "dense":
+        d = A.to_dense().astype(np.float32)  # host build — no device scatter
+        dense = chunked_device_put(d.astype(dense_dtype))
+        return PreparedAdjacency(
+            A=A, dense=dense, plan=None, plan_t=None, kind="dense"
+        )
+    if method == "pallas":
+        plan = jax.device_put(plan_spmm(A, rb=rb, cb=cb, be=be))
+        plan_t = jax.device_put(plan_spmm(A.transpose(), rb=rb, cb=cb, be=be))
+        return PreparedAdjacency(
+            A=A, dense=None, plan=plan, plan_t=plan_t, kind="pallas"
+        )
+    if method == "xla":
+        return PreparedAdjacency(
+            A=A, dense=None, plan=None, plan_t=None, kind="xla"
+        )
+    raise ValueError(f"unknown method {method!r}")
+
+
+def agg_matmul(prep: PreparedAdjacency, H: jax.Array) -> jax.Array:
+    """out = A @ H via the prepared backend (differentiable)."""
+    if prep.kind == "dense":
+        out = jnp.dot(
+            prep.dense,
+            H.astype(prep.dense.dtype),
+            preferred_element_type=jnp.float32,
+        )
+        return out[: prep.A.n_rows].astype(H.dtype)
+    if prep.kind == "pallas":
+        return _pallas_agg(prep.plan, prep.plan_t, H).astype(H.dtype)
+    return spmm(prep.A, H)
+
+
+@jax.custom_vjp
+def _pallas_agg(plan: SpMMPlan, plan_t: SpMMPlan, H: jax.Array) -> jax.Array:
+    return spmm_pallas(plan, H)
+
+
+def _pallas_agg_fwd(plan, plan_t, H):
+    return spmm_pallas(plan, H), (plan, plan_t, H.shape[0])
+
+
+def _pallas_agg_bwd(res, g):
+    # grad_H = A^T @ g via the pre-built transpose schedule
+    plan, plan_t, n_h = res
+    gH = spmm_pallas(plan_t, g)
+    if gH.shape[0] < n_h:
+        gH = jnp.pad(gH, ((0, n_h - gH.shape[0]), (0, 0)))
+    return None, None, gH[:n_h]
+
+
+_pallas_agg.defvjp(_pallas_agg_fwd, _pallas_agg_bwd)
+
+
+def agg_matmul_with_vals(
+    prep: PreparedAdjacency, vals: jax.Array, H: jax.Array
+) -> jax.Array:
+    """out = A(vals) @ H with runtime edge values (attention weights) in the
+    original edge order. Differentiable in both vals and H."""
+    if prep.kind == "pallas":
+        return _pallas_agg_vals(prep.A, prep.plan, prep.plan_t, vals, H).astype(
+            H.dtype
+        )
+    # dense backend has no cheap value substitution; use the edge path
+    return spmm(prep.A.with_vals(vals), H)
+
+
+def _pallas_agg_vals_impl(A, plan, plan_t, vals, H):
+    return spmm_pallas(plan_with_vals(plan, vals), H)
+
+
+@jax.custom_vjp
+def _pallas_agg_vals(A, plan, plan_t, vals, H):
+    return _pallas_agg_vals_impl(A, plan, plan_t, vals, H)
+
+
+def _pallas_agg_vals_fwd(A, plan, plan_t, vals, H):
+    return _pallas_agg_vals_impl(A, plan, plan_t, vals, H), (
+        A,
+        plan_t,
+        vals,
+        H,
+    )
+
+
+def _pallas_agg_vals_bwd(res, g):
+    A, plan_t, vals, H = res
+    # grad_H = A(vals)^T @ g
+    gH = spmm_pallas(plan_with_vals(plan_t, vals), g)
+    if gH.shape[0] < H.shape[0]:
+        gH = jnp.pad(gH, ((0, H.shape[0] - gH.shape[0]), (0, 0)))
+    # grad_vals[e] = g[row_e] . H[col_e]  (SDDMM of the cotangent)
+    gv = jnp.sum(
+        jnp.take(g, A.rows, axis=0) * jnp.take(H, A.cols, axis=0), axis=1
+    ).astype(vals.dtype)
+    return None, None, None, gv, gH[: H.shape[0]]
+
+
+_pallas_agg_vals.defvjp(_pallas_agg_vals_fwd, _pallas_agg_vals_bwd)
+
+
+def map_adjacency_vals(prep: PreparedAdjacency, fn) -> PreparedAdjacency:
+    """Apply an elementwise function to the adjacency values of every
+    backend representation (used for fake-quantizing the adjacency; fn must
+    map 0 -> 0 so dense zeros and padding stay zero)."""
+    A = prep.A.with_vals(fn(prep.A.vals))
+    dense = fn(prep.dense) if prep.dense is not None else None
+    plan = (
+        dataclasses.replace(prep.plan, val=fn(prep.plan.val))
+        if prep.plan is not None
+        else None
+    )
+    plan_t = (
+        dataclasses.replace(prep.plan_t, val=fn(prep.plan_t.val))
+        if prep.plan_t is not None
+        else None
+    )
+    return dataclasses.replace(prep, A=A, dense=dense, plan=plan, plan_t=plan_t)
