@@ -45,6 +45,17 @@ def load_csr_text(
     path: str, n_cols: Optional[int] = None, *, pad_to: int = 128
 ) -> SparseMatrix:
     """Parse the 3-line CSR text format into a SparseMatrix."""
+    from sgracex1_tpu.runtime import native
+
+    parsed = native.load_csr_text(path) if os.path.exists(path) else None
+    if parsed is not None:
+        rowptr, cols, vals = parsed
+        nc = n_cols if n_cols is not None else (
+            int(cols.max()) + 1 if len(cols) else 0
+        )
+        return SparseMatrix.from_csr_arrays(
+            rowptr, cols, vals, nc, pad_to=pad_to
+        )
     with open(path) as f:
         lines = [ln for ln in f.read().splitlines() if ln.strip()]
     if len(lines) < 2:
@@ -67,6 +78,11 @@ def load_csr_text(
 
 def load_dense_text(path: str) -> np.ndarray:
     """Parse the dense one-row-per-line comma-separated format."""
+    from sgracex1_tpu.runtime import native
+
+    parsed = native.load_dense_text(path) if os.path.exists(path) else None
+    if parsed is not None:
+        return parsed
     rows = []
     with open(path) as f:
         for ln in f:

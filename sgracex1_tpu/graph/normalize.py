@@ -56,6 +56,13 @@ def sym_norm_edges(
     weight'(i,j) = d_i^{-1/2} * w(i,j) * d_j^{-1/2} with d = sum of weights
     per source row (reference computes degree over ``row`` — sgrace.py:46-49).
     """
+    from sgracex1_tpu.runtime import native
+
+    fast = native.sym_norm_edges(
+        np.asarray(edge_index, dtype=np.int64), num_nodes, edge_weight, fill
+    )
+    if fast is not None:
+        return fast
     edge_index, edge_weight = add_self_loops(edge_index, edge_weight, num_nodes, fill)
     row, col = edge_index
     deg = np.zeros(num_nodes, dtype=np.float64)

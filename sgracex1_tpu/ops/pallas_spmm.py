@@ -96,6 +96,25 @@ def plan_spmm(
     c = np.asarray(A.cols[: A.nnz])
     v = np.asarray(A.vals[: A.nnz], dtype=np.float32)
 
+    from sgracex1_tpu.runtime import native
+
+    fast = native.plan_tiles(r, c, v, rb, cb, be) if A.nnz else None
+    if fast is not None:
+        lrow, lcol, val, perm, trb_a, tcb_a = fast
+        return SpMMPlan(
+            lrow=jnp.asarray(lrow.reshape(-1, ec)),
+            lcol=jnp.asarray(lcol.reshape(-1, ec)),
+            val=jnp.asarray(val.reshape(-1, ec)),
+            perm=jnp.asarray(perm.reshape(-1, ec)),
+            tile_rb=jnp.asarray(trb_a),
+            tile_cb=jnp.asarray(tcb_a),
+            n_rows=A.n_rows,
+            n_cols=A.n_cols,
+            rb=rb,
+            cb=cb,
+            nnz=A.nnz,
+        )
+
     trb, tcb = r // rb, c // cb
     order = np.lexsort((c, r, tcb, trb))
     r, c, v, trb, tcb = r[order], c[order], v[order], trb[order], tcb[order]
