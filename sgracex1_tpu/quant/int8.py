@@ -1,0 +1,246 @@
+"""True-integer int8 inference path on the MXU.
+
+The reference has two integer datapaths: a gemmlowp-style requantize stage in
+the HLS engine (``scale``, kernelMatrixmult_all.cpp:2155-2259 — compiled out
+by default) and the demo bitstream's on-chip quantize/dequantize pipeline
+driven by the ``quantization_scale_*`` / ``deq_factor`` registers
+(sgrace.py:334-365). The QAT path (quant/affine.py) *emulates* those with
+float fake-quant; this module is the real thing for inference: both layer
+matmuls run as int8xint8->int32 on the MXU, with requantization between
+stages.
+
+TPU int8 convention: the MXU consumes signed int8. Unsigned-grid tensors
+(input features and adjacency: z = 0, range [0, 2^qbits - 1]) are stored
+shifted by -128 into int8, and the matmul is corrected with the identity
+
+    Uq @ S = (Us + 128) @ S = Us @ S + 128 * colsum(S)
+
+where the correction is a per-output-column constant — the TPU analogue of
+the reference's zero-point bias preload (``bias_start``,
+kernelMatrixmult_all.cpp:3876-3888). The hidden XW grid is *signed*
+symmetric, matching the reference's signed internal fixed-point pipeline
+(ITYPE, matrix_mult.h:80): negative pre-aggregation values must survive
+until the post-aggregation ReLU (fused at write-out,
+kernelMatrixmult_all.cpp:798-805).
+
+Requantization computes ``round(acc * m)`` in float32 rather than the
+reference's Q31 fixed-point ``(acc * mult) >> (31 - shift)``: f32 holds
+integers exactly up to 2^24, far above int8 GNN accumulators, so the results
+match the integer formula while staying on the VPU's fast path.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sgracex1_tpu.quant.affine import QuantConstants
+from sgracex1_tpu.quant.calibration import CalibrationTable
+
+_SHIFT = 128  # unsigned-grid -> int8 storage shift
+
+
+# --------------------------------------------------------------------- quant
+
+
+def quantize_unsigned_shifted(x: jax.Array, c: QuantConstants) -> jax.Array:
+    """Quantize to the unsigned grid [0, beta_q] (z = 0 for [0, beta] ranges)
+    and store shifted into int8."""
+    xq = jnp.clip(jnp.round(x / c.s + c.z), 0, c.beta_q)
+    return (xq - _SHIFT).astype(jnp.int8)
+
+
+def quantize_signed(x: jax.Array, c: QuantConstants) -> jax.Array:
+    """Quantize to the signed grid [alpha_q, beta_q] as int8."""
+    xq = jnp.clip(jnp.round(x / c.s + c.z), c.alpha_q, c.beta_q)
+    return xq.astype(jnp.int8)
+
+
+def _int8_matmul(a: jax.Array, b: jax.Array) -> jax.Array:
+    """int8 x int8 -> int32 on the MXU."""
+    return jax.lax.dot_general(
+        a,
+        b,
+        (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+
+
+def matmul_unsigned_x_signed(us: jax.Array, sq: jax.Array) -> jax.Array:
+    """acc = Uq @ Sq where ``us`` stores Uq - 128 (unsigned grid, shifted)
+    and ``sq`` is signed int8. Exact int32."""
+    acc = _int8_matmul(us, sq)
+    corr = _SHIFT * jnp.sum(sq.astype(jnp.int32), axis=0)
+    return acc + corr[None, :]
+
+
+# ---------------------------------------------------------------- requantize
+
+
+def requantize_signed(acc: jax.Array, multiplier: float, beta_q: int = 127):
+    """int32 accumulator -> signed int8 grid: clamp(round(acc * m))."""
+    q = jnp.round(acc.astype(jnp.float32) * jnp.float32(multiplier))
+    return jnp.clip(q, -float(beta_q), float(beta_q)).astype(jnp.int8)
+
+
+def requantize_unsigned_shifted(
+    acc: jax.Array, multiplier: float, beta_q: int = 255
+) -> jax.Array:
+    """int32 accumulator -> unsigned grid (z = 0), stored shifted int8.
+
+    The lower clamp at 0 IS the integer-domain ReLU (z = 0), exactly how the
+    reference fuses ReLU into the quantized write-out stage."""
+    q = jnp.round(acc.astype(jnp.float32) * jnp.float32(multiplier))
+    q = jnp.clip(q, 0.0, float(beta_q))
+    return (q - _SHIFT).astype(jnp.int8)
+
+
+def dequantize_acc(acc: jax.Array, scale: float) -> jax.Array:
+    return acc.astype(jnp.float32) * jnp.float32(scale)
+
+
+# ------------------------------------------------------------ prepared layer
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class Int8GCNLayer:
+    """One GCN layer frozen for integer inference.
+
+    wq: int8 [F_in, F_out] signed weights. s_x/s_w/s_a are the input /
+    weight / adjacency scales; s_h is the signed hidden (XW) grid scale
+    derived from amax telemetry. All scales are static floats baked into the
+    compiled program (the reference writes them to AXI registers per layer,
+    sgrace.py:334-365).
+    """
+
+    wq: jax.Array
+    s_x: float = dataclasses.field(metadata=dict(static=True))
+    s_w: float = dataclasses.field(metadata=dict(static=True))
+    s_a: float = dataclasses.field(metadata=dict(static=True))
+    s_h: float = dataclasses.field(metadata=dict(static=True))
+
+
+def freeze_gcn_layer(
+    W: np.ndarray,
+    c_x: QuantConstants,
+    c_w: QuantConstants,
+    c_a: QuantConstants,
+    *,
+    h_absmax: float,
+) -> Int8GCNLayer:
+    """Quantize layer weights and derive the hidden-activation grid from an
+    observed |XW| amax (the framework's analogue of the reference's max_fea
+    calibration telemetry, sgrace.py:506-520)."""
+    wq = np.clip(
+        np.round(np.asarray(W) / c_w.s + c_w.z), c_w.alpha_q, c_w.beta_q
+    ).astype(np.int8)
+    s_h = max(float(h_absmax), 1e-8) / 127.0
+    return Int8GCNLayer(
+        wq=jnp.asarray(wq), s_x=c_x.s, s_w=c_w.s, s_a=c_a.s, s_h=s_h
+    )
+
+
+def int8_gcn_layer(
+    layer: Int8GCNLayer, a_s: jax.Array, xs: jax.Array
+) -> Tuple[jax.Array, float]:
+    """Full-integer GCN layer: acc = Aq @ requant(Xq @ Wq), both matmuls on
+    the MXU in int8.
+
+    a_s: dense adjacency on the unsigned grid, shifted int8 [N, N].
+    xs: features on the unsigned grid, shifted int8 [N, F].
+    Returns (int32 accumulator, its dequant scale); ReLU is applied by the
+    caller at the next requantize (post-aggregation, like the reference's
+    fused write-out ReLU).
+    """
+    acc1 = matmul_unsigned_x_signed(xs, layer.wq)  # Xq @ Wq, exact int32
+    # real(acc1) = s_x * s_w * acc1 -> requantize onto the signed hidden grid
+    h_q = requantize_signed(acc1, layer.s_x * layer.s_w / layer.s_h)
+    acc2 = matmul_unsigned_x_signed(a_s, h_q)  # Aq @ Hq, exact int32
+    return acc2, layer.s_a * layer.s_h
+
+
+def dense_adjacency_int8(A_dense: np.ndarray, c_a: QuantConstants) -> jax.Array:
+    """Quantize a dense adjacency onto the unsigned grid, shifted int8."""
+    aq = np.clip(np.round(np.asarray(A_dense) / c_a.s + c_a.z), 0, c_a.beta_q)
+    return jnp.asarray((aq - _SHIFT).astype(np.int8))
+
+
+# --------------------------------------------------------- two-layer network
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class Int8GCN2:
+    """The reference's 2-layer GCN frozen for full-integer inference."""
+
+    layer1: Int8GCNLayer
+    layer2: Int8GCNLayer
+    a_s: jax.Array  # shared quantized adjacency
+
+
+def freeze_gcn2(
+    W1: np.ndarray,
+    W2: np.ndarray,
+    A_dense: np.ndarray,
+    cal: CalibrationTable,
+    *,
+    h1_absmax: float,
+    x2_absmax: float,
+    h2_absmax: float,
+) -> Int8GCN2:
+    """Freeze a trained 2-layer GCN (weights + calibration table + activation
+    amax telemetry) into the integer inference form.
+
+    h1/h2_absmax: observed |X W| amax per layer; x2_absmax: observed amax of
+    the layer-1 output (layer 2's input range).
+    """
+    c_x2 = QuantConstants(
+        s_o=1.0, s=max(float(x2_absmax), 1e-8) / 255.0, z=0, qbits=8,
+        signed=False,
+    )
+    l1 = freeze_gcn_layer(
+        W1, cal.features, cal.weights, cal.adjacency, h_absmax=h1_absmax
+    )
+    l2 = freeze_gcn_layer(
+        W2, c_x2, cal.weights2, cal.adjacency, h_absmax=h2_absmax
+    )
+    return Int8GCN2(
+        layer1=l1,
+        layer2=l2,
+        a_s=dense_adjacency_int8(A_dense, cal.adjacency),
+    )
+
+
+def collect_amax_gcn2(
+    A_dense: np.ndarray, X: np.ndarray, W1: np.ndarray, W2: np.ndarray
+) -> dict:
+    """One float forward pass recording the activation ranges freeze_gcn2
+    needs — the framework's analogue of reading back the max_fea telemetry
+    register per layer (sgrace.py:506-520)."""
+    h1_pre = X @ W1
+    h1 = np.maximum(A_dense @ h1_pre, 0.0)
+    h2_pre = h1 @ W2
+    return dict(
+        h1_absmax=float(np.abs(h1_pre).max()),
+        x2_absmax=float(h1.max()),
+        h2_absmax=float(np.abs(h2_pre).max()),
+    )
+
+
+def int8_gcn2_forward(net: Int8GCN2, xs: jax.Array) -> jax.Array:
+    """Integer forward through both layers; returns float hidden [N, F2].
+
+    The layer-1 accumulator is ReLU'd and requantized onto layer 2's
+    unsigned input grid in one step (lower clamp at z = 0 == ReLU) — the
+    integer analogue of the reference's dense=1 restaging of layer-1 output
+    (sgrace.py:1217-1237) with relu fused in the write-out.
+    """
+    acc1, scale1 = int8_gcn_layer(net.layer1, net.a_s, xs)
+    x2 = requantize_unsigned_shifted(acc1, scale1 / net.layer2.s_x)
+    acc2, scale2 = int8_gcn_layer(net.layer2, net.a_s, x2)
+    return dequantize_acc(acc2, scale2)

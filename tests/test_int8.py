@@ -1,0 +1,101 @@
+"""Integer int8 inference path: exactness of the corrected int8 matmuls and
+end-to-end closeness to the float reference."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from sgracex1_tpu.quant.affine import QuantConstants, generate_constants
+from sgracex1_tpu.quant.calibration import CalibrationTable
+from sgracex1_tpu.quant import int8 as qi8
+
+
+def _uc(beta=1.0, qbits=8):
+    return generate_constants(0.0, beta, qbits, signed=False, w_qbits=qbits)
+
+
+def _sc(absmax=1.0, qbits=8):
+    return generate_constants(-absmax, absmax, qbits, signed=True, w_qbits=qbits)
+
+
+def test_unsigned_x_signed_matmul_exact():
+    """Shifted-int8 matmul + correction == exact integer product."""
+    rng = np.random.default_rng(0)
+    uq = rng.integers(0, 256, (37, 53)).astype(np.int64)  # unsigned grid
+    sq = rng.integers(-127, 128, (53, 17)).astype(np.int64)
+    us = jnp.asarray((uq - 128).astype(np.int8))
+    acc = np.asarray(qi8.matmul_unsigned_x_signed(us, jnp.asarray(sq.astype(np.int8))))
+    np.testing.assert_array_equal(acc, uq @ sq)
+
+
+def test_quantize_roundtrip():
+    c = _uc(beta=2.0)
+    x = jnp.asarray(np.linspace(0, 2, 100, dtype=np.float32))
+    xs = qi8.quantize_unsigned_shifted(x, c)
+    xq = xs.astype(np.int32) + 128
+    back = xq * c.s
+    np.testing.assert_allclose(back, np.asarray(x), atol=c.s / 2 + 1e-7)
+
+
+def test_int8_layer_close_to_float():
+    """Integer layer output tracks the float GCN layer within quant error."""
+    rng = np.random.default_rng(1)
+    n, f, p = 64, 32, 16
+    X = rng.uniform(0, 1, (n, f)).astype(np.float32)
+    W = rng.uniform(-0.5, 0.5, (f, p)).astype(np.float32)
+    A = (rng.uniform(size=(n, n)) < 0.1).astype(np.float32)
+    A /= np.maximum(A.sum(1, keepdims=True), 1)
+
+    c_x, c_w = _uc(1.0), _sc(0.5)
+    c_a = _uc(1.0)
+    h_absmax = float(np.abs(X @ W).max())
+    layer = qi8.freeze_gcn_layer(W, c_x, c_w, c_a, h_absmax=h_absmax)
+
+    xs = qi8.quantize_unsigned_shifted(jnp.asarray(X), c_x)
+    a_s = qi8.dense_adjacency_int8(A, c_a)
+    acc, scale = jax.jit(qi8.int8_gcn_layer)(layer, a_s, xs)
+    out = np.asarray(qi8.dequantize_acc(acc, scale))
+
+    expect = A @ (X @ W)
+    err = np.abs(out - expect).max()
+    scale_err = np.abs(expect).max()
+    assert err < 0.05 * scale_err + 0.01, f"int8 err {err} vs range {scale_err}"
+
+
+def test_relu_is_lower_clamp():
+    """Requantize-to-unsigned zeroes negatives exactly like float ReLU."""
+    acc = jnp.asarray(np.array([[-100, -1, 0, 1, 100]], np.int32))
+    out = np.asarray(qi8.requantize_unsigned_shifted(acc, 1.0)).astype(np.int32) + 128
+    np.testing.assert_array_equal(out[0], [0, 0, 0, 1, 100])
+
+
+def test_gcn2_forward_close_to_float():
+    rng = np.random.default_rng(2)
+    n, f, h = 48, 24, 12
+    X = rng.uniform(0, 1, (n, f)).astype(np.float32)
+    W1 = rng.uniform(-0.5, 0.5, (f, h)).astype(np.float32)
+    W2 = rng.uniform(-0.5, 0.5, (h, h)).astype(np.float32)
+    A = (rng.uniform(size=(n, n)) < 0.15).astype(np.float32)
+    A /= np.maximum(A.sum(1, keepdims=True), 1)
+
+    # float reference
+    h1 = np.maximum(A @ (X @ W1), 0.0)
+    expect = A @ (h1 @ W2)
+
+    cal = CalibrationTable.for_qbits(
+        8,
+        dict(w_min=-0.5, w_max=0.5, w_min2=-0.5, w_max2=0.5,
+             f_min=0.0, f_max=1.0, a_min=0.0, a_max=float(A.max())),
+    )
+    net = qi8.freeze_gcn2(
+        W1, W2, A, cal,
+        h1_absmax=float(np.abs(X @ W1).max()),
+        x2_absmax=float(h1.max()),
+        h2_absmax=float(np.abs(h1 @ W2).max()),
+    )
+    xs = qi8.quantize_unsigned_shifted(jnp.asarray(X), cal.features)
+    out = np.asarray(jax.jit(qi8.int8_gcn2_forward)(net, xs))
+
+    rel = np.abs(out - expect).max() / (np.abs(expect).max() + 1e-9)
+    assert rel < 0.08, f"2-layer int8 relative err {rel}"
