@@ -1,0 +1,77 @@
+"""Multi-device scaling efficiency of the distributed GNN layer.
+
+On CI this runs on a virtual CPU mesh (XLA_FLAGS=
+--xla_force_host_platform_device_count=N); on a TPU slice the same code
+measures real ICI scaling. Reports edges/s per device count and scaling
+efficiency vs 1 device — the BASELINE.md target is >= 80%.
+"""
+
+import sys, os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+import jax.numpy as jnp
+import numpy as np
+
+from benchmarks.common import timed_loop, header
+from sgracex1_tpu.graph.normalize import sym_norm
+from sgracex1_tpu.parallel.mesh import make_mesh
+from sgracex1_tpu.parallel.partition import partition_graph, pad_nodes
+from sgracex1_tpu.parallel.spmm_dist import dist_gnn_layer
+
+
+def bench(n_devices: int, data, base_eps=None):
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    edge_index, n, F, Wd = data
+    mesh = make_mesh(n_devices)
+    A = sym_norm(edge_index, n)
+    G, n_pad = partition_graph(A, n_devices)
+    sh = NamedSharding(mesh, P("graph"))
+    rng = np.random.default_rng(0)
+    x = jax.device_put(
+        pad_nodes(rng.standard_normal((n, F)).astype(np.float32), n_pad), sh
+    )
+    G = jax.device_put(G, sh)
+    W = jax.device_put(Wd)
+
+    def step(xv):
+        out = dist_gnn_layer(mesh, G, xv, W, relu=False)
+        return xv + out[:, : xv.shape[1]] * 1e-12
+
+    sec = timed_loop(step, x, iters=20)
+    eps = A.nnz / sec
+    eff = "" if base_eps is None else f"  eff {eps / (base_eps * n_devices) * 100:5.1f}%"
+    print(f"  {n_devices} dev: {sec * 1e3:8.3f} ms  {eps / 1e6:8.1f} M edges/s{eff}")
+    return eps
+
+
+def main():
+    n, F, H = 16384, 128, 128
+    rng = np.random.default_rng(1)
+    e = n * 16
+    edge_index = np.stack(
+        [rng.integers(0, n, e), rng.integers(0, n, e)]
+    ).astype(np.int64)
+    W = rng.standard_normal((F, H)).astype(np.float32) * 0.1
+
+    header(f"distributed GNN layer scaling (N={n}, E~{e}, F={F})")
+    base = bench(1, (edge_index, n, F, W))
+    for d in (2, 4, 8):
+        if d <= jax.device_count():
+            bench(d, (edge_index, n, F, W), base)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,49 @@
+"""Shared benchmark helpers: relay-safe timing and dataset loading."""
+
+from __future__ import annotations
+
+import time
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def sync(x) -> float:
+    """Force device completion by pulling a scalar (block_until_ready does
+    not fully sync through the TPU relay — see utils/profiling.py)."""
+    return float(jnp.sum(x))
+
+
+def timed_loop(step: Callable, init, *, iters: int = 1000, reps: int = 5) -> float:
+    """Median seconds/iteration amortized inside one jit (fori_loop with a
+    data dependence), 1-iteration baseline subtracted."""
+
+    def run(k):
+        @jax.jit
+        def f(x0):
+            return jax.lax.fori_loop(0, k, lambda i, x: step(x), x0)
+
+        sync(f(init))
+        ts = []
+        for _ in range(reps):
+            t = time.time()
+            sync(f(init))
+            ts.append(time.time() - t)
+        return float(np.median(ts))
+
+    return (run(iters) - run(1)) / (iters - 1)
+
+
+def load(name: str):
+    """(adj, X_dense, W) for a reference dataset."""
+    from sgracex1_tpu.graph import io
+
+    adj, fea, w = io.load_reference_dataset(name)
+    X = np.asarray(fea.to_dense()).astype(np.float32)
+    return adj, X, w.astype(np.float32)
+
+
+def header(title: str):
+    print(f"\n=== {title} (backend: {jax.default_backend()}) ===")

@@ -1,0 +1,57 @@
+"""Accuracy anchors on the REAL reference datasets (gated on the mount).
+
+The synthetic anchors live in test_training.py; these run the reference's
+actual data: MUTAG molecule classification (README.md:127-129 — 0.76 test
+accuracy) and the citeseer kernel-parity check against scipy.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+MUTAG_ROOT = "/root/reference/jupyter/molecule_gcn"
+
+needs_mutag = pytest.mark.skipif(
+    not os.path.isdir(os.path.join(MUTAG_ROOT, "MUTAG", "raw")),
+    reason="MUTAG raw data not mounted",
+)
+
+
+@needs_mutag
+def test_mutag_parse():
+    from sgracex1_tpu.graph.datasets import load_tu_dataset
+
+    graphs = load_tu_dataset(MUTAG_ROOT, "MUTAG")
+    assert len(graphs) == 188
+    assert graphs[0].x.shape[1] == 7  # 7 atom types
+    labels = {g.y for g in graphs}
+    assert labels == {0, 1}
+    # first MUTAG graph: 17 nodes, 38 directed edges (notebook cell 4 output)
+    assert graphs[0].num_nodes == 17
+    assert graphs[0].edge_index.shape[1] == 38
+
+
+@needs_mutag
+def test_mutag_anchor_076():
+    """The reference's molecule anchor: >= 0.76 test accuracy
+    (README.md:127-129). Notebook-faithful setup: raw adjacency,
+    full-batch, hidden 64, Adam lr=0.01."""
+    from sgracex1_tpu.config import SGRACEConfig
+    from sgracex1_tpu.graph.datasets import load_tu_dataset
+    from sgracex1_tpu.nn.models import MoleculeGCN
+    from sgracex1_tpu.train.loop import train_graph_classifier
+    from examples.molecule_gcn import full_batch
+
+    graphs = load_tu_dataset(MUTAG_ROOT, "MUTAG")
+    rng = np.random.default_rng(12345)
+    idx = rng.permutation(len(graphs))
+    train = [graphs[i] for i in idx[:150]]
+    test = [graphs[i] for i in idx[150:]]
+
+    cfg = SGRACEConfig(num_epochs=50, learning_rate=0.01)
+    model = MoleculeGCN(num_features=7, hidden_channels=64, num_classes=2)
+    _, hist = train_graph_classifier(
+        model, full_batch(train), full_batch(test), cfg
+    )
+    assert hist.best_test_acc >= 0.76, hist.best_test_acc
