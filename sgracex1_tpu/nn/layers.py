@@ -30,7 +30,7 @@ from flax import linen as nn
 from sgracex1_tpu.graph.csr import SparseMatrix
 from sgracex1_tpu.ops.spmm import spmm
 from sgracex1_tpu.ops.sddmm import sddmm, leaky_relu, edge_softmax
-from sgracex1_tpu.ops.fused_gnn import relu_hw
+from sgracex1_tpu.ops.fused_gnn import relu_hw, gnn_layer_quant_backward
 from sgracex1_tpu.ops.dispatch import (
     PreparedAdjacency,
     agg_matmul,
@@ -107,6 +107,9 @@ class GCNConv(nn.Module):
     out_features: int
     quant: Optional[LayerQuantParams] = None
     use_bias: bool = False
+    # quantize the backward cotangent to these constants (the reference's
+    # accb=1 hardware-offloaded backward, go_qbits=8 — sgrace.py:701-878)
+    go_quant: Optional[object] = None
 
     @nn.compact
     def __call__(self, A, x: jax.Array, *, relu: bool = False):
@@ -117,6 +120,17 @@ class GCNConv(nn.Module):
         if q is not None:
             x = fake_quant_unsigned(x, q.features, q.w_qbits)
             W = fake_quant_signed(W, q.weights, q.w_qbits)
+        if self.go_quant is not None:
+            # fused fwd with 8-bit-quantized backward; the fake-quant
+            # emulation of the internal pipeline does not apply on this path
+            # (the reference's accb path skips it too — it reuses the raw
+            # engine for the gradient matmuls)
+            out = gnn_layer_quant_backward(_edges(A), x, W, self.go_quant)
+            if self.use_bias:
+                out = out + self.param(
+                    "bias", nn.initializers.zeros, (self.out_features,)
+                )
+            return relu_hw(out) if relu else out
         Wh = jnp.dot(x, W, preferred_element_type=jnp.float32)
         if q is not None:
             Wh = internal_fixed_point(Wh, q.scale_fea, q.internal_quantization)
@@ -150,7 +164,14 @@ class GATConv(nn.Module):
     quant: Optional[LayerQuantParams] = None
 
     @nn.compact
-    def __call__(self, A, x: jax.Array, *, relu: bool = False):
+    def __call__(
+        self,
+        A,
+        x: jax.Array,
+        *,
+        relu: bool = False,
+        return_attention: bool = False,
+    ):
         F, H = self.out_features, self.nheads
         W = self.param("weight", _xavier_gain(), (self.in_features, F * H))
         att = self.param("attention", _xavier_gain(), (2 * F * H, 1))
@@ -176,12 +197,14 @@ class GATConv(nn.Module):
         a_dst = a[F * H :].reshape(H, F)
 
         Wh_sg = jax.lax.stop_gradient(Wh_heads)
-        outs = []
+        outs, e_heads, s_heads = [], [], []
         for h in range(H):
             e = leaky_relu(
                 sddmm(A_e, Wh_sg[:, h, :], a_src[h], a_dst[h]), self.alpha
             )
             s = edge_softmax(A_e, e)
+            e_heads.append(e)
+            s_heads.append(s)
             outs.append(_agg_vals(A, s, Wh_heads[:, h, :]))
         out = jnp.concatenate(outs, axis=-1)  # [N, F*H]
 
@@ -189,4 +212,9 @@ class GATConv(nn.Module):
             out = relu_hw(out)
         if q is not None:
             out = ste(out, out * q.deq_o)
+        if return_attention:
+            # per-edge logits / probabilities [H, E_pad] — the demo
+            # bitstream's E / S read-back buffers (sgrace.py:498-539);
+            # reassemble densely with ops.fused_gnn.edges_to_dense
+            return out, (jnp.stack(e_heads), jnp.stack(s_heads))
         return out

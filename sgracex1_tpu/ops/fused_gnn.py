@@ -25,14 +25,17 @@ custom VJPs built from these same primitives.
 
 from __future__ import annotations
 
+from functools import partial
 from typing import Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from sgracex1_tpu.graph.csr import SparseMatrix
-from sgracex1_tpu.ops.spmm import spmm
+from sgracex1_tpu.ops.spmm import spmm, spmm_t
 from sgracex1_tpu.ops.sddmm import sddmm, leaky_relu, edge_softmax
+from sgracex1_tpu.quant.affine import QuantConstants, quantize, dequantize
 
 
 def relu_hw(x: jax.Array) -> jax.Array:
@@ -85,6 +88,79 @@ def gat_attention(
     e = leaky_relu(sddmm(A, Wh_s, a_src, a_dst), alpha)
     s = edge_softmax(A, e)
     return e, s
+
+
+def edges_to_dense(A: SparseMatrix, edge_vals: jax.Array) -> jax.Array:
+    """Reassemble per-edge values into a dense [N, N] matrix — the host-side
+    COO->dense reassembly the reference performs on the E/S attention
+    read-back buffers (sgrace.py:498-539). In-jit (scatter); for host use
+    prefer numpy on ``np.asarray`` outputs."""
+    out = jnp.zeros((A.n_rows, A.n_cols), edge_vals.dtype)
+    vals = jnp.where(A.pad_mask(), edge_vals, 0)
+    return out.at[A.rows, A.cols].add(vals)
+
+
+# --------------------------------------------------------------------------
+# quantized backward (the reference's accb=1 hardware-offloaded backward)
+# --------------------------------------------------------------------------
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def _gnn_layer_qbwd(n_rows, go_c, rows, cols, vals, X, W):
+    H = jnp.dot(X, W, preferred_element_type=jnp.float32)
+    gathered = jnp.take(H, cols, axis=0) * vals[:, None]
+    return jax.ops.segment_sum(gathered, rows, num_segments=n_rows)
+
+
+def _gnn_layer_qbwd_fwd(n_rows, go_c, rows, cols, vals, X, W):
+    return (
+        _gnn_layer_qbwd(n_rows, go_c, rows, cols, vals, X, W),
+        (rows, cols, vals, X, W),
+    )
+
+
+def _gnn_layer_qbwd_bwd(n_rows, go_c, res, g):
+    rows, cols, vals, X, W = res
+    # The reference quantizes grad_output to go_qbits (8) before the two
+    # backward kernel launches and dequantizes the results with
+    # deq_gw / deq_gi (sgrace.py:701-878, 1690-1691). Net effect: the
+    # gradient matmuls see the 8-bit-rounded cotangent — a
+    # quantize->dequantize round trip here (the reference's separate deq
+    # factors exist only because its kernel consumes the raw integer grid).
+    gq = dequantize(quantize(g, go_c), go_c)
+    AtG = jax.ops.segment_sum(
+        jnp.take(gq, rows, axis=0) * vals[:, None],
+        cols,
+        num_segments=X.shape[0],
+    )  # A^T @ gq (the reference reuses A: its normalized adj is symmetric)
+    grad_W = jnp.dot(X.T, AtG, preferred_element_type=jnp.float32)
+    grad_X = jnp.dot(AtG, W.T, preferred_element_type=jnp.float32)
+    f0 = lambda a: np.zeros(a.shape, jax.dtypes.float0)
+    return (f0(rows), f0(cols), jnp.zeros_like(vals), grad_X, grad_W)
+
+
+_gnn_layer_qbwd.defvjp(_gnn_layer_qbwd_fwd, _gnn_layer_qbwd_bwd)
+
+
+def gnn_layer_quant_backward(
+    A: SparseMatrix,
+    X: jax.Array,
+    W: jax.Array,
+    go_c: QuantConstants,
+    *,
+    relu: bool = False,
+) -> jax.Array:
+    """GCN layer whose BACKWARD quantizes the output cotangent to
+    ``go_c.qbits`` bits before the gradient matmuls — the reference's
+    hardware-offloaded backward (``accb=1``, FPYNQ_GAT.backward pass 1/2
+    with gemm_mode=2/1 pointer swapping, sgrace.py:701-878). The pointer
+    swap is an FPGA artifact; the math is
+    ``grad_W = X^T (A^T gq) * deq``, ``grad_X = (A^T gq) W^T * deq``
+    with gq the 8-bit-rounded cotangent (the reference uses A for A^T
+    since its normalized adjacency is symmetric).
+    """
+    out = _gnn_layer_qbwd(A.n_rows, go_c, A.rows, A.cols, A.vals, X, W)
+    return relu_hw(out) if relu else out
 
 
 def gat_layer(
