@@ -374,6 +374,71 @@ void sg_plan_copy(SgPlan* h, int32_t* lrow, int32_t* lcol, float* val,
 }
 void sg_plan_free(SgPlan* h) { delete h; }
 
+// ----------------------------------------------------------- RCM reordering
+
+// Reverse Cuthill-McKee over the symmetrized pattern of a COO matrix.
+// Produces a bandwidth-reducing node permutation: perm[new_id] = old_id.
+// Used to create (row-block, col-block) tile locality for the Pallas SpMM
+// edge-tile planner — the TPU-side analogue of the reference's assumption
+// that its datasets arrive in a cache-friendly node order.
+void sg_rcm_order(int64_t n, int64_t nnz, const int32_t* rows,
+                  const int32_t* cols, int32_t* perm_out) {
+  // symmetrize: adjacency list over pattern of A + A^T (dedup not needed
+  // for BFS correctness; duplicates only cost a visited check)
+  std::vector<int64_t> deg(static_cast<size_t>(n), 0);
+  for (int64_t i = 0; i < nnz; ++i) {
+    if (rows[i] == cols[i]) continue;
+    ++deg[static_cast<size_t>(rows[i])];
+    ++deg[static_cast<size_t>(cols[i])];
+  }
+  std::vector<int64_t> ptr(static_cast<size_t>(n) + 1, 0);
+  for (int64_t v = 0; v < n; ++v) ptr[v + 1] = ptr[v] + deg[v];
+  std::vector<int32_t> adj(static_cast<size_t>(ptr[n]));
+  std::vector<int64_t> fill(ptr.begin(), ptr.end() - 1);
+  for (int64_t i = 0; i < nnz; ++i) {
+    if (rows[i] == cols[i]) continue;
+    adj[static_cast<size_t>(fill[rows[i]]++)] = cols[i];
+    adj[static_cast<size_t>(fill[cols[i]]++)] = rows[i];
+  }
+
+  std::vector<uint8_t> visited(static_cast<size_t>(n), 0);
+  std::vector<int32_t> order;
+  order.reserve(static_cast<size_t>(n));
+  std::vector<int32_t> queue;
+  std::vector<int32_t> nbrs;
+
+  // nodes by ascending degree for component-start selection
+  std::vector<int32_t> by_deg(static_cast<size_t>(n));
+  std::iota(by_deg.begin(), by_deg.end(), 0);
+  std::stable_sort(by_deg.begin(), by_deg.end(),
+                   [&](int32_t a, int32_t b) { return deg[a] < deg[b]; });
+
+  for (int32_t s : by_deg) {
+    if (visited[static_cast<size_t>(s)]) continue;
+    visited[static_cast<size_t>(s)] = 1;
+    size_t head = order.size();
+    order.push_back(s);
+    while (head < order.size()) {
+      int32_t v = order[head++];
+      nbrs.clear();
+      for (int64_t k = ptr[v]; k < ptr[v + 1]; ++k) {
+        int32_t u = adj[static_cast<size_t>(k)];
+        if (!visited[static_cast<size_t>(u)]) {
+          visited[static_cast<size_t>(u)] = 1;
+          nbrs.push_back(u);
+        }
+      }
+      std::stable_sort(nbrs.begin(), nbrs.end(), [&](int32_t a, int32_t b) {
+        return deg[a] < deg[b];
+      });
+      order.insert(order.end(), nbrs.begin(), nbrs.end());
+    }
+  }
+  // reverse (the "R" in RCM)
+  for (int64_t i = 0; i < n; ++i)
+    perm_out[i] = order[static_cast<size_t>(n - 1 - i)];
+}
+
 // ------------------------------------------------------ balanced row partition
 // Contiguous row ranges with approximately equal nnz (greedy prefix cuts at
 // nnz_total/parts boundaries). The nnz-balanced alternative to the equal-node

@@ -95,6 +95,8 @@ def _declare(lib: ctypes.CDLL) -> None:
 
     lib.sg_partition_balance.argtypes = [_i64, _p_i64, _i32, _p_i64]
 
+    lib.sg_rcm_order.argtypes = [_i64, _i64, _p_i32, _p_i32, _p_i32]
+
 
 def get_lib() -> Optional[ctypes.CDLL]:
     """Load (building if needed) the native library; None when unavailable."""
@@ -239,6 +241,21 @@ def plan_tiles(
         return lrow, lcol, val, perm, trb, tcb
     finally:
         lib.sg_plan_free(h)
+
+
+def rcm_order(
+    n: int, rows: np.ndarray, cols: np.ndarray
+) -> Optional[np.ndarray]:
+    """Reverse Cuthill-McKee permutation (perm[new] = old) over the
+    symmetrized pattern; None when the native lib is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    rows = np.ascontiguousarray(rows, np.int32)
+    cols = np.ascontiguousarray(cols, np.int32)
+    perm = np.empty(n, np.int32)
+    lib.sg_rcm_order(n, rows.shape[0], rows, cols, perm)
+    return perm
 
 
 def partition_balance(rowptr: np.ndarray, n_parts: int) -> Optional[np.ndarray]:

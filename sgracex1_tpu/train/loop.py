@@ -117,6 +117,89 @@ def train_node_classifier(
     return state, hist
 
 
+def train_node_classifier_sampled(
+    model,
+    data: NodeClassificationData,
+    cfg: SGRACEConfig,
+    *,
+    batch_size: int = 128,
+    fanouts=(10, 10),
+    seed: int = 12345,
+    log_every: int = 0,
+) -> Tuple[TrainState, History]:
+    """Neighbor-sampled node classification — the reference's NeighborLoader
+    path for graphs beyond the full-batch limit (demo_sgrace.py:112-125).
+    Fresh subgraphs are sampled every epoch; evaluation runs full-graph.
+    """
+    from sgracex1_tpu.graph.sampling import make_neighbor_batches
+
+    np_rng = np.random.default_rng(seed)
+    train_nodes = np.nonzero(data.train_mask)[0]
+
+    A_full = sym_norm(data.edge_index, data.num_nodes).device()
+    x_full = jnp.asarray(data.x)
+    y_full = jnp.asarray(data.y)
+    masks = {
+        k: jnp.asarray(getattr(data, f"{k}_mask").astype(np.float32))
+        for k in ("train", "test")
+    }
+
+    rng = jax.random.PRNGKey(seed)
+    rng, init_rng = jax.random.split(rng)
+    state = create_train_state(
+        model, init_rng, (A_full, x_full), cfg.resolved_learning_rate()
+    )
+
+    @jax.jit
+    def step(state, batch_A, bx, by, bm, dropout_rng):
+        def loss_fn(params):
+            logits = state.apply_fn(
+                params, batch_A, bx, training=True,
+                rngs={"dropout": dropout_rng},
+            )
+            return _masked_xent(logits, by, bm)
+
+        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        return state.apply_gradients(grads=grads), loss
+
+    @jax.jit
+    def evaluate(state):
+        logits = state.apply_fn(state.params, A_full, x_full, training=False)
+        pred = jnp.argmax(logits, -1)
+        return {
+            k: jnp.sum((pred == y_full) * m) / jnp.maximum(jnp.sum(m), 1.0)
+            for k, m in masks.items()
+        }
+
+    hist = History()
+    for epoch in range(cfg.num_epochs):
+        batches = make_neighbor_batches(
+            data.edge_index, data.x, data.y, train_nodes,
+            batch_size=batch_size, fanouts=fanouts, rng=np_rng,
+        )
+        for b in batches:
+            rng, drng = jax.random.split(rng)
+            state, loss = step(
+                state,
+                b.A.device(),
+                jnp.asarray(b.x),
+                jnp.asarray(b.y),
+                jnp.asarray(b.seed_mask.astype(np.float32)),
+                drng,
+            )
+        accs = evaluate(state)
+        tr, te = float(accs["train"]), float(accs["test"])
+        hist.loss.append(float(loss))
+        hist.train_acc.append(tr)
+        hist.test_acc.append(te)
+        if te > hist.best_test_acc:
+            hist.best_test_acc = te
+            hist.best_params = jax.device_get(state.params)
+        if log_every and (epoch + 1) % log_every == 0:
+            print(f"epoch {epoch + 1:03d} train {tr:.4f} test {te:.4f}")
+    return state, hist
+
+
 def train_graph_classifier(
     model,
     train_batches: Sequence[GraphBatch],

@@ -1,0 +1,75 @@
+"""RCM reordering: bandwidth reduction, SpMM equivariance, plan shrinkage."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from sgracex1_tpu.graph.csr import SparseMatrix
+from sgracex1_tpu.graph.reorder import rcm_order, permute_graph, bandwidth
+from sgracex1_tpu.ops.spmm import spmm
+
+
+def _banded_graph_shuffled(rng, n=400, band=5):
+    """A graph that IS low-bandwidth under some order, randomly relabeled."""
+    rows, cols = [], []
+    for i in range(n):
+        for d in range(-band, band + 1):
+            j = i + d
+            if 0 <= j < n:
+                rows.append(i)
+                cols.append(j)
+    shuffle = rng.permutation(n)
+    r = shuffle[np.array(rows)]
+    c = shuffle[np.array(cols)]
+    v = rng.uniform(0.5, 1.5, len(r)).astype(np.float32)
+    return SparseMatrix.from_coo(r, c, v, (n, n))
+
+
+def test_rcm_reduces_bandwidth(rng):
+    A = _banded_graph_shuffled(rng)
+    perm = rcm_order(A)
+    B, _ = permute_graph(A, perm)
+    assert bandwidth(B) < bandwidth(A) / 4
+    assert sorted(perm.tolist()) == list(range(A.n_rows))
+
+
+def test_native_and_scipy_both_reduce(rng):
+    import os
+    from sgracex1_tpu.runtime import native
+
+    if not native.available():
+        pytest.skip("native runtime not built")
+    A = _banded_graph_shuffled(rng, n=200)
+    p_nat = rcm_order(A)
+    os.environ["SGRACE_NATIVE"] = "0"
+    try:
+        p_sci = rcm_order(A)
+    finally:
+        os.environ["SGRACE_NATIVE"] = "1"
+    b_nat = bandwidth(permute_graph(A, p_nat)[0])
+    b_sci = bandwidth(permute_graph(A, p_sci)[0])
+    b_orig = bandwidth(A)
+    assert b_nat < b_orig / 4 and b_sci < b_orig / 4
+
+
+def test_spmm_equivariance(rng):
+    """(P A P^T)(P X) == P (A X): aggregation commutes with relabeling."""
+    A = _banded_graph_shuffled(rng, n=150)
+    X = rng.standard_normal((150, 16)).astype(np.float32)
+    perm = rcm_order(A)
+    B, inv = permute_graph(A, perm)
+    out_direct = np.asarray(spmm(A, jnp.asarray(X)))
+    out_perm = np.asarray(spmm(B, jnp.asarray(X[perm])))
+    np.testing.assert_allclose(out_perm[inv], out_direct, rtol=1e-5, atol=1e-5)
+
+
+def test_plan_shrinks_after_rcm(rng):
+    """RCM cuts the number of pallas edge groups on a shuffled banded graph."""
+    from sgracex1_tpu.ops.pallas_spmm import plan_spmm
+
+    A = _banded_graph_shuffled(rng, n=2000, band=3)
+    perm = rcm_order(A)
+    B, _ = permute_graph(A, perm)
+    g_before = plan_spmm(A, rb=256, cb=256, be=1024).num_groups
+    g_after = plan_spmm(B, rb=256, cb=256, be=1024).num_groups
+    assert g_after < g_before, (g_before, g_after)
