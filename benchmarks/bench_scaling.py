@@ -29,15 +29,21 @@ from sgracex1_tpu.graph.normalize import sym_norm
 from sgracex1_tpu.parallel.mesh import make_mesh
 from sgracex1_tpu.parallel.partition import partition_graph, pad_nodes
 from sgracex1_tpu.parallel.spmm_dist import dist_gnn_layer
+from sgracex1_tpu.parallel.halo import build_halo, dist_gnn_layer_halo
 
 
-def bench(n_devices: int, data, base_eps=None):
+def bench(n_devices: int, data, base_eps=None, *, halo=False):
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     edge_index, n, F, Wd = data
     mesh = make_mesh(n_devices)
     A = sym_norm(edge_index, n)
-    G, n_pad = partition_graph(A, n_devices)
+    if halo:
+        G, n_pad = build_halo(A, n_devices)
+        layer = dist_gnn_layer_halo
+    else:
+        G, n_pad = partition_graph(A, n_devices)
+        layer = dist_gnn_layer
     sh = NamedSharding(mesh, P("graph"))
     rng = np.random.default_rng(0)
     x = jax.device_put(
@@ -47,13 +53,14 @@ def bench(n_devices: int, data, base_eps=None):
     W = jax.device_put(Wd)
 
     def step(xv):
-        out = dist_gnn_layer(mesh, G, xv, W, relu=False)
+        out = layer(mesh, G, xv, W, relu=False)
         return xv + out[:, : xv.shape[1]] * 1e-12
 
     sec = timed_loop(step, x, iters=20)
     eps = A.nnz / sec
+    tag = "halo" if halo else "gthr"
     eff = "" if base_eps is None else f"  eff {eps / (base_eps * n_devices) * 100:5.1f}%"
-    print(f"  {n_devices} dev: {sec * 1e3:8.3f} ms  {eps / 1e6:8.1f} M edges/s{eff}")
+    print(f"  {n_devices} dev [{tag}]: {sec * 1e3:8.3f} ms  {eps / 1e6:8.1f} M edges/s{eff}")
     return eps
 
 
@@ -71,6 +78,7 @@ def main():
     for d in (2, 4, 8):
         if d <= jax.device_count():
             bench(d, (edge_index, n, F, W), base)
+            bench(d, (edge_index, n, F, W), base, halo=True)
 
 
 if __name__ == "__main__":

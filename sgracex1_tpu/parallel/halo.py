@@ -1,0 +1,208 @@
+"""Halo (boundary) exchange for row-partitioned graphs.
+
+The all-gather layer in ``spmm_dist`` replicates the whole hidden matrix to
+every shard — the direct analogue of the reference's C_buffer replication
+(compute1_2/4 write one copy per ADJ thread, kernelMatrixmult_all.cpp:
+2807-2916), and wasteful for the same reason. Real graphs touch few remote
+rows: this module precomputes, per shard pair (owner -> reader), exactly
+which hidden rows must move, ships them with one ``all_to_all``, and
+aggregates local and halo edges separately so XLA can overlap the
+collective with the local segment-sum (neither depends on the other).
+
+Comm volume: O(boundary nodes) instead of O(N) per shard — the design the
+scaling-efficiency target in BASELINE.md assumes.
+
+Host-side plan (``build_halo``):
+- shard s owns rows [s*n_local, (s+1)*n_local); its edges split into local
+  (col owner == s) and remote.
+- send_idx[t, s, :] = owner-local indices of the rows shard t sends shard s
+  (padded with 0 — unreferenced slots are harmless).
+- remote edge columns are relabeled to halo-buffer slots t*L + l.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+from jax import shard_map
+
+from sgracex1_tpu.graph.csr import SparseMatrix
+from sgracex1_tpu.ops.fused_gnn import relu_hw
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class HaloGraph:
+    """Row-partitioned graph with a precomputed boundary-exchange plan.
+
+    Edge arrays are shard-major [S, E]; send_idx is [S, S, L] (axis 0 =
+    owner shard, axis 1 = destination shard).
+    """
+
+    rows_loc: np.ndarray  # int32[S, E_loc] local-edge destination (shard-local)
+    cols_loc: np.ndarray  # int32[S, E_loc] local-edge source (shard-local)
+    vals_loc: np.ndarray  # float[S, E_loc]
+    rows_rem: np.ndarray  # int32[S, E_rem] remote-edge destination (shard-local)
+    cols_halo: np.ndarray  # int32[S, E_rem] slot into the halo buffer
+    vals_rem: np.ndarray  # float[S, E_rem]
+    send_idx: np.ndarray  # int32[S, S, L] owner-local rows to ship
+    n_shards: int = dataclasses.field(metadata=dict(static=True))
+    n_local: int = dataclasses.field(metadata=dict(static=True))
+    n_pad: int = dataclasses.field(metadata=dict(static=True))
+
+    @property
+    def halo_len(self) -> int:
+        return self.send_idx.shape[2]
+
+
+def build_halo(
+    A: SparseMatrix, n_shards: int, *, pad_to: int = 128
+) -> Tuple[HaloGraph, int]:
+    """Partition adjacency rows and build the boundary-exchange plan."""
+    N = A.n_rows
+    n_pad = _round_up(N, n_shards * 8)
+    n_local = n_pad // n_shards
+
+    r = np.asarray(A.rows[: A.nnz])
+    c = np.asarray(A.cols[: A.nnz])
+    v = np.asarray(A.vals[: A.nnz])
+    s_of_r = r // n_local
+    s_of_c = c // n_local
+
+    send_lists = [[None] * n_shards for _ in range(n_shards)]  # [owner][dst]
+    per_shard = []
+    for s in range(n_shards):
+        mine = s_of_r == s
+        loc_m = mine & (s_of_c == s)
+        rem_m = mine & (s_of_c != s)
+        loc = (r[loc_m] - s * n_local, c[loc_m] - s * n_local, v[loc_m])
+        # remote: group by owner, build send lists and halo slots
+        rr, cc, vv = r[rem_m], c[rem_m], v[rem_m]
+        owners = s_of_c[rem_m]
+        halo_slot = np.zeros(len(cc), np.int64)
+        for t in range(n_shards):
+            if t == s:
+                send_lists[t][s] = np.zeros(0, np.int64)
+                continue
+            tm = owners == t
+            uniq, inv = np.unique(cc[tm], return_inverse=True)
+            send_lists[t][s] = uniq - t * n_local  # owner-local indices
+            halo_slot[tm] = inv  # position within t's send list (offset later)
+        per_shard.append((loc, (rr - s * n_local, owners, halo_slot, vv)))
+
+    L = max(
+        (len(send_lists[t][s]) for t in range(n_shards) for s in range(n_shards)),
+        default=1,
+    )
+    L = max(_round_up(L, 8), 8)
+
+    send_idx = np.zeros((n_shards, n_shards, L), np.int32)
+    for t in range(n_shards):
+        for s in range(n_shards):
+            sl = send_lists[t][s]
+            send_idx[t, s, : len(sl)] = sl
+
+    e_loc = max(
+        _round_up(max((len(p[0][2]) for p in per_shard), default=1), pad_to),
+        pad_to,
+    )
+    e_rem = max(
+        _round_up(max((len(p[1][3]) for p in per_shard), default=1), pad_to),
+        pad_to,
+    )
+    rows_loc = np.zeros((n_shards, e_loc), np.int32)
+    cols_loc = np.zeros((n_shards, e_loc), np.int32)
+    vals_loc = np.zeros((n_shards, e_loc), v.dtype)
+    rows_rem = np.zeros((n_shards, e_rem), np.int32)
+    cols_halo = np.zeros((n_shards, e_rem), np.int32)
+    vals_rem = np.zeros((n_shards, e_rem), v.dtype)
+    for s, (loc, rem) in enumerate(per_shard):
+        k = len(loc[2])
+        rows_loc[s, :k], cols_loc[s, :k], vals_loc[s, :k] = loc
+        rr, owners, slot, vv = rem
+        k = len(vv)
+        rows_rem[s, :k] = rr
+        cols_halo[s, :k] = owners * L + slot
+        vals_rem[s, :k] = vv
+    return (
+        HaloGraph(
+            rows_loc=rows_loc,
+            cols_loc=cols_loc,
+            vals_loc=vals_loc,
+            rows_rem=rows_rem,
+            cols_halo=cols_halo,
+            vals_rem=vals_rem,
+            send_idx=send_idx,
+            n_shards=n_shards,
+            n_local=n_local,
+            n_pad=n_pad,
+        ),
+        n_pad,
+    )
+
+
+def dist_spmm_halo(mesh: Mesh, G: HaloGraph, H: jax.Array) -> jax.Array:
+    """out = A @ H with boundary-only exchange; H row-sharded [n_pad, P]."""
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P("graph", None),) * 6 + (P("graph", None, None), P("graph", None)),
+        out_specs=P("graph", None),
+    )
+    def f(rows_loc, cols_loc, vals_loc, rows_rem, cols_halo, vals_rem,
+          send_idx, H_l):
+        rows_loc, cols_loc, vals_loc = rows_loc[0], cols_loc[0], vals_loc[0]
+        rows_rem, cols_halo, vals_rem = rows_rem[0], cols_halo[0], vals_rem[0]
+        send_idx = send_idx[0]  # [S, L]
+
+        # ship boundary rows: gather my rows for each destination, exchange
+        send = jnp.take(H_l, send_idx.reshape(-1), axis=0).reshape(
+            send_idx.shape + (H_l.shape[1],)
+        )  # [S, L, P]
+        halo = jax.lax.all_to_all(
+            send, "graph", split_axis=0, concat_axis=0, tiled=False
+        ).reshape(-1, H_l.shape[1])  # [S*L, P] — slot t*L+l = row from owner t
+
+        # local aggregation is independent of the collective -> overlappable
+        out = jax.ops.segment_sum(
+            jnp.take(H_l, cols_loc, axis=0) * vals_loc[:, None],
+            rows_loc,
+            num_segments=G.n_local,
+        )
+        out = out + jax.ops.segment_sum(
+            jnp.take(halo, cols_halo, axis=0) * vals_rem[:, None],
+            rows_rem,
+            num_segments=G.n_local,
+        )
+        return out
+
+    return f(
+        G.rows_loc, G.cols_loc, G.vals_loc,
+        G.rows_rem, G.cols_halo, G.vals_rem,
+        G.send_idx, H,
+    )
+
+
+def dist_gnn_layer_halo(
+    mesh: Mesh,
+    G: HaloGraph,
+    x: jax.Array,
+    W: jax.Array,
+    *,
+    relu: bool = False,
+) -> jax.Array:
+    """GCN layer ReLU?(A @ (X @ W)) with halo exchange of XW."""
+    H = jnp.dot(x, W, preferred_element_type=jnp.float32)
+    out = dist_spmm_halo(mesh, G, H)
+    return relu_hw(out) if relu else out
