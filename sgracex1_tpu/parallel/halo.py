@@ -206,3 +206,89 @@ def dist_gnn_layer_halo(
     H = jnp.dot(x, W, preferred_element_type=jnp.float32)
     out = dist_spmm_halo(mesh, G, H)
     return relu_hw(out) if relu else out
+
+
+_NEG_INF = -9e15
+
+
+def dist_gat_layer_halo(
+    mesh: Mesh,
+    G: HaloGraph,
+    x: jax.Array,
+    W: jax.Array,
+    attention: jax.Array,
+    *,
+    alpha: float = 0.2,
+    relu: bool = False,
+) -> jax.Array:
+    """GAT layer with boundary-only exchange.
+
+    The row partition keeps each row's edges (and therefore its softmax) in
+    one shard; attention scores on remote columns are computed from the
+    received halo rows (``s2 = halo @ a_dst``) — no full replication of Wh.
+    Gradient semantics match the single-chip layer: scores are computed on
+    gradient-stopped hidden states (reference backward approximation,
+    sgrace.py:1094-1103).
+    """
+    F = W.shape[1]
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P("graph", None),) * 6
+        + (P("graph", None, None), P("graph", None), P(None, None), P(None)),
+        out_specs=P("graph", None),
+    )
+    def f(rows_loc, cols_loc, vals_loc, rows_rem, cols_halo, vals_rem,
+          send_idx, x_l, W_r, a):
+        rows_loc, cols_loc, vals_loc = rows_loc[0], cols_loc[0], vals_loc[0]
+        rows_rem, cols_halo, vals_rem = rows_rem[0], cols_halo[0], vals_rem[0]
+        send_idx = send_idx[0]
+
+        H_l = jnp.dot(x_l, W_r, preferred_element_type=jnp.float32)
+        send = jnp.take(H_l, send_idx.reshape(-1), axis=0).reshape(
+            send_idx.shape + (F,)
+        )
+        halo = jax.lax.all_to_all(
+            send, "graph", split_axis=0, concat_axis=0, tiled=False
+        ).reshape(-1, F)
+
+        Hsg = jax.lax.stop_gradient(H_l)
+        halo_sg = jax.lax.stop_gradient(halo)
+        s1_l = jnp.dot(Hsg, a[:F], preferred_element_type=jnp.float32)
+        s2_l = jnp.dot(Hsg, a[F:], preferred_element_type=jnp.float32)
+        s2_h = jnp.dot(halo_sg, a[F:], preferred_element_type=jnp.float32)
+
+        # per-edge logits, local and remote edge groups share the softmax
+        # over the destination row — concatenate the two edge sets
+        e_loc = jnp.take(s1_l, rows_loc) + jnp.take(s2_l, cols_loc)
+        e_rem = jnp.take(s1_l, rows_rem) + jnp.take(s2_h, cols_halo)
+        rows_all = jnp.concatenate([rows_loc, rows_rem])
+        e = jnp.concatenate([e_loc, e_rem])
+        e = jnp.where(e > 0, e, alpha * e)
+        mask = jnp.concatenate([vals_loc, vals_rem]) > 0
+
+        masked = jnp.where(mask, e, _NEG_INF)
+        row_max = jax.ops.segment_max(masked, rows_all, num_segments=G.n_local)
+        row_max = jnp.where(jnp.isfinite(row_max), row_max, 0.0)
+        ex = jnp.where(mask, jnp.exp(masked - jnp.take(row_max, rows_all)), 0.0)
+        denom = jax.ops.segment_sum(ex, rows_all, num_segments=G.n_local)
+        att = ex / jnp.take(jnp.where(denom > 0, denom, 1.0), rows_all)
+
+        n_loc = rows_loc.shape[0]
+        out = jax.ops.segment_sum(
+            jnp.take(H_l, cols_loc, axis=0) * att[:n_loc, None],
+            rows_loc,
+            num_segments=G.n_local,
+        ) + jax.ops.segment_sum(
+            jnp.take(halo, cols_halo, axis=0) * att[n_loc:, None],
+            rows_rem,
+            num_segments=G.n_local,
+        )
+        return relu_hw(out) if relu else out
+
+    return f(
+        G.rows_loc, G.cols_loc, G.vals_loc,
+        G.rows_rem, G.cols_halo, G.vals_rem,
+        G.send_idx, x, W, attention.reshape(-1),
+    )

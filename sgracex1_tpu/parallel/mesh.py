@@ -24,3 +24,29 @@ def make_mesh(
     if n_devices is not None:
         devs = devs[:n_devices]
     return Mesh(np.array(devs), (axis_name,))
+
+
+def init_multihost(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> None:
+    """Join a multi-host job (jax.distributed). On TPU pods with standard
+    environment metadata all arguments auto-detect; pass them explicitly on
+    unmanaged clusters. After this, ``make_mesh()`` spans every chip in the
+    job and the same shard_map code runs over ICI within a slice and DCN
+    across hosts. No-op if already initialized."""
+    try:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    except RuntimeError as e:
+        if "already" not in str(e).lower():
+            raise
+
+
+def global_mesh(axis_name: str = "graph") -> Mesh:
+    """1D mesh over every device in the (possibly multi-host) job."""
+    return Mesh(np.array(jax.devices()), (axis_name,))

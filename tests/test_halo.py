@@ -9,7 +9,12 @@ from sgracex1_tpu.graph.csr import SparseMatrix
 from sgracex1_tpu.graph.normalize import sym_norm
 from sgracex1_tpu.ops.spmm import spmm
 from sgracex1_tpu.parallel.mesh import make_mesh
-from sgracex1_tpu.parallel.halo import build_halo, dist_spmm_halo, dist_gnn_layer_halo
+from sgracex1_tpu.parallel.halo import (
+    build_halo,
+    dist_spmm_halo,
+    dist_gnn_layer_halo,
+    dist_gat_layer_halo,
+)
 from sgracex1_tpu.parallel.partition import pad_nodes
 from tests.conftest import make_random_graph
 
@@ -70,6 +75,22 @@ def test_halo_gradients_match(rng):
     np.testing.assert_allclose(
         np.asarray(gd[1]), np.asarray(gs[1]), rtol=1e-4, atol=1e-5
     )
+
+
+@pytest.mark.parametrize("n_dev", [2, 8])
+def test_halo_gat_matches_single(rng, n_dev):
+    from sgracex1_tpu.ops.fused_gnn import gat_layer
+
+    n, f, h = 96, 10, 7
+    A, G, mesh, X, X_d, n_pad = _setup(rng, n, n_dev, f=f)
+    W = jnp.asarray(rng.standard_normal((f, h)).astype(np.float32) * 0.3)
+    att = jnp.asarray(rng.standard_normal((2 * h, 1)).astype(np.float32))
+
+    out = np.asarray(jax.jit(
+        lambda xv: dist_gat_layer_halo(mesh, G, xv, W, att, relu=True)
+    )(X_d))[:n]
+    expect = np.asarray(gat_layer(A, jnp.asarray(X), W, att, relu=True))
+    np.testing.assert_allclose(out, expect, rtol=1e-4, atol=1e-5)
 
 
 def test_halo_handles_no_remote_edges(rng):
