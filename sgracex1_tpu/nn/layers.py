@@ -74,6 +74,20 @@ def _quantize_adj(A, fn):
     return A.with_vals(fn(A.vals))
 
 
+class _AmaxMixin:
+    """Range telemetry: every layer records |x|/|W|/|XW| maxima into the
+    'telemetry' collection — the framework's analogue of the reference's
+    ``max_fea`` register read-back used for quantization calibration
+    (sgrace.py:506-520). Retrieve with
+    ``model.apply(params, ..., mutable=['telemetry'])``; feed the result to
+    ``CalibrationTable.calibrate_from_amax`` (see quant/autocal.py)."""
+
+    def _sow_amax(self, x, W, Wh):
+        self.sow("telemetry", "x_amax", jnp.max(jnp.abs(x)))
+        self.sow("telemetry", "w_absmax", jnp.max(jnp.abs(W)))
+        self.sow("telemetry", "wh_absmax", jnp.max(jnp.abs(Wh)))
+
+
 def _xavier_gain(gain: float = 1.414):
     """Xavier uniform with the reference's gain (init.xavier_uniform_ with
     gain=1.414, sgrace.py:1177-1179)."""
@@ -96,7 +110,7 @@ class ReluHW(nn.Module):
         return relu_hw(x)
 
 
-class GCNConv(nn.Module):
+class GCNConv(nn.Module, _AmaxMixin):
     """GCN convolution: ``ReLU?(A_hat @ (X @ W))``.
 
     Equivalent to the reference layer with ``compute_attention=0``
@@ -132,6 +146,7 @@ class GCNConv(nn.Module):
                 )
             return relu_hw(out) if relu else out
         Wh = jnp.dot(x, W, preferred_element_type=jnp.float32)
+        self._sow_amax(x, W, Wh)
         if q is not None:
             Wh = internal_fixed_point(Wh, q.scale_fea, q.internal_quantization)
             A = _quantize_adj(
@@ -147,7 +162,7 @@ class GCNConv(nn.Module):
         return out
 
 
-class GATConv(nn.Module):
+class GATConv(nn.Module, _AmaxMixin):
     """GAT convolution (``GATConv_SGRACE``): multi-head attention aggregation.
 
     Parameters mirror the reference: one weight ``[in, out*nheads]`` and one
@@ -187,6 +202,7 @@ class GATConv(nn.Module):
         A_e = _edges(A)
 
         Wh = jnp.dot(x, W, preferred_element_type=jnp.float32)  # [N, F*H]
+        self._sow_amax(x, W, Wh)
         if q is not None:
             Wh = internal_fixed_point(Wh, q.scale_fea, q.internal_quantization)
 
