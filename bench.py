@@ -75,11 +75,23 @@ def timed_loop(step, init, iters=200, reps=5):
     return (tk - t1) / (iters - 1)
 
 
+DEADLINE_S = 480.0  # overall benchmark deadline (hung-relay protection)
+
+
 def main():
     import jax
     import jax.numpy as jnp
 
+    from sgracex1_tpu.utils.watchdog import device_alive
+
     log("devices:", jax.devices())
+    if not device_alive(60.0):
+        log("ERROR: device liveness probe timed out (hung relay?); aborting")
+        # os._exit: a stuck device call in a daemon thread aborts the
+        # interpreter during normal teardown
+        import os
+
+        os._exit(1)
     adj, X, w = load_citeseer()
     adj = adj.device()
     X = jax.device_put(X)
@@ -116,4 +128,15 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    from sgracex1_tpu.utils.watchdog import run_with_deadline, DeviceTimeout
+
+    import os
+
+    try:
+        run_with_deadline(main, DEADLINE_S)
+    except DeviceTimeout as e:
+        log(f"ERROR: {e}")
+        sys.stdout.flush()
+        os._exit(1)
+    sys.stdout.flush()  # os._exit skips buffered-stdout flushing
+    os._exit(0)
