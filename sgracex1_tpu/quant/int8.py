@@ -216,6 +216,107 @@ def freeze_gcn2(
     )
 
 
+# ------------------------------------------------------------------ int8 GAT
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class Int8GATLayer:
+    """GAT layer frozen for integer inference (single head).
+
+    Both matmuls (X@W and attention-weighted aggregation) run int8 on the
+    MXU; attention scores are int8 matvecs; only the edge softmax itself is
+    float (O(E) transcendentals — the demo bitstream likewise computes the
+    softmax in its float pipeline stage, reading back S, sgrace.py:501-539).
+    """
+
+    wq: jax.Array  # int8 [F_in, F_out]
+    aq_src: jax.Array  # int8 [F_out]
+    aq_dst: jax.Array  # int8 [F_out]
+    s_x: float = dataclasses.field(metadata=dict(static=True))
+    s_w: float = dataclasses.field(metadata=dict(static=True))
+    s_a: float = dataclasses.field(metadata=dict(static=True))  # attention vec
+    s_h: float = dataclasses.field(metadata=dict(static=True))
+    alpha: float = dataclasses.field(metadata=dict(static=True))
+
+
+def freeze_gat_layer(
+    W: np.ndarray,
+    attention: np.ndarray,
+    c_x: QuantConstants,
+    c_w: QuantConstants,
+    *,
+    h_absmax: float,
+    alpha: float = 0.2,
+) -> Int8GATLayer:
+    """Quantize GAT weights + the [2F, 1] attention vector (sgrace.py:1178)."""
+    F = W.shape[1]
+    a = np.asarray(attention).reshape(-1)
+    a_absmax = max(float(np.abs(a).max()), 1e-8)
+    s_a = a_absmax / 127.0
+    aq = np.clip(np.round(a / s_a), -127, 127).astype(np.int8)
+    wq = np.clip(
+        np.round(np.asarray(W) / c_w.s + c_w.z), c_w.alpha_q, c_w.beta_q
+    ).astype(np.int8)
+    s_h = max(float(h_absmax), 1e-8) / 127.0
+    return Int8GATLayer(
+        wq=jnp.asarray(wq),
+        aq_src=jnp.asarray(aq[:F]),
+        aq_dst=jnp.asarray(aq[F:]),
+        s_x=c_x.s,
+        s_w=c_w.s,
+        s_a=s_a,
+        s_h=s_h,
+        alpha=alpha,
+    )
+
+
+def int8_gat_layer(
+    layer: Int8GATLayer,
+    rows: jax.Array,
+    cols: jax.Array,
+    edge_mask: jax.Array,
+    n_nodes: int,
+    xs: jax.Array,
+) -> Tuple[jax.Array, float]:
+    """Full GAT layer with integer matmuls.
+
+    rows/cols/edge_mask: padded COO edges of the adjacency (mask = real edge
+    with positive weight). Returns (int32 accumulator, dequant scale).
+    """
+    acc1 = matmul_unsigned_x_signed(xs, layer.wq)  # Xq @ Wq exact
+    h_q = requantize_signed(acc1, layer.s_x * layer.s_w / layer.s_h)
+
+    # attention scores: int8 matvecs, dequantized per edge (O(E) float)
+    s1 = jnp.dot(
+        h_q, layer.aq_src, preferred_element_type=jnp.int32
+    ).astype(jnp.float32)
+    s2 = jnp.dot(
+        h_q, layer.aq_dst, preferred_element_type=jnp.int32
+    ).astype(jnp.float32)
+    sc = layer.s_h * layer.s_a
+    e = (jnp.take(s1, rows) + jnp.take(s2, cols)) * sc
+    e = jnp.where(e > 0, e, layer.alpha * e)
+
+    # edge softmax (float)
+    masked = jnp.where(edge_mask, e, -9e15)
+    row_max = jax.ops.segment_max(masked, rows, num_segments=n_nodes)
+    row_max = jnp.where(jnp.isfinite(row_max), row_max, 0.0)
+    ex = jnp.where(edge_mask, jnp.exp(masked - jnp.take(row_max, rows)), 0.0)
+    denom = jax.ops.segment_sum(ex, rows, num_segments=n_nodes)
+    att = ex / jnp.take(jnp.where(denom > 0, denom, 1.0), rows)
+
+    # attention matrix on the unsigned [0,255] grid, dense, shifted int8:
+    # aggregation becomes one int8 MXU matmul (the demo bitstream's
+    # quantized attention aggregation)
+    att_q = jnp.round(att * 255.0)
+    att_dense = jnp.zeros((n_nodes, n_nodes), jnp.float32)
+    att_dense = att_dense.at[rows, cols].add(att_q)
+    att_s = (att_dense - _SHIFT).astype(jnp.int8)
+    acc2 = matmul_unsigned_x_signed(att_s, h_q)
+    return acc2, (1.0 / 255.0) * layer.s_h
+
+
 def collect_amax_gcn2(
     A_dense: np.ndarray, X: np.ndarray, W1: np.ndarray, W2: np.ndarray
 ) -> dict:

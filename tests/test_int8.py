@@ -70,6 +70,42 @@ def test_relu_is_lower_clamp():
     np.testing.assert_array_equal(out[0], [0, 0, 0, 1, 100])
 
 
+def test_int8_gat_layer_close_to_float():
+    """Integer GAT layer tracks the float GAT within quantization error."""
+    import jax.numpy as jnp
+    from sgracex1_tpu.graph.csr import SparseMatrix
+    from sgracex1_tpu.graph.normalize import sym_norm
+    from sgracex1_tpu.ops.fused_gnn import gat_layer
+
+    rng = np.random.default_rng(3)
+    n, f, h = 48, 16, 8
+    ei = np.unique(
+        np.stack([rng.integers(0, n, 300), rng.integers(0, n, 300)]), axis=1
+    )
+    A = sym_norm(ei, n)
+    X = rng.uniform(0, 1, (n, f)).astype(np.float32)
+    W = rng.uniform(-0.5, 0.5, (f, h)).astype(np.float32)
+    att = rng.uniform(-0.5, 0.5, (2 * h, 1)).astype(np.float32)
+
+    expect = np.asarray(
+        gat_layer(A, jnp.asarray(X), jnp.asarray(W), jnp.asarray(att),
+                  relu=False)
+    )
+
+    c_x, c_w = _uc(1.0), _sc(0.5)
+    layer = qi8.freeze_gat_layer(
+        W, att, c_x, c_w, h_absmax=float(np.abs(X @ W).max())
+    )
+    xs = qi8.quantize_unsigned_shifted(jnp.asarray(X), c_x)
+    acc, scale = jax.jit(
+        qi8.int8_gat_layer, static_argnames="n_nodes"
+    )(layer, A.rows, A.cols, A.vals > 0, n, xs)
+    out = np.asarray(qi8.dequantize_acc(acc, scale))
+
+    rel = np.abs(out - expect).max() / (np.abs(expect).max() + 1e-9)
+    assert rel < 0.08, f"int8 GAT relative err {rel}"
+
+
 def test_gcn2_forward_close_to_float():
     rng = np.random.default_rng(2)
     n, f, h = 48, 24, 12
