@@ -46,7 +46,7 @@ def full_batch(graphs, pad_to=128):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--data-root", default=None)
-    ap.add_argument("--seed", type=int, default=12345)
+    ap.add_argument("--seed", type=int, default=1)
     ap.add_argument("--epochs", type=int, default=50)
     args = ap.parse_args()
 

@@ -83,6 +83,12 @@ class _AmaxMixin:
     ``CalibrationTable.calibrate_from_amax`` (see quant/autocal.py)."""
 
     def _sow_amax(self, x, W, Wh):
+        # sow is a silent no-op when 'telemetry' isn't mutable, except under
+        # lifted transforms (nn.remat) where it raises — guard explicitly
+        if self.scope is None or not self.scope.is_mutable_collection(
+            "telemetry"
+        ):
+            return
         self.sow("telemetry", "x_amax", jnp.max(jnp.abs(x)))
         self.sow("telemetry", "w_absmax", jnp.max(jnp.abs(W)))
         self.sow("telemetry", "wh_absmax", jnp.max(jnp.abs(Wh)))

@@ -24,6 +24,14 @@ from sgracex1_tpu.nn.layers import GCNConv, GATConv
 from sgracex1_tpu.quant.calibration import CalibrationTable
 
 
+def _conv_apply(remat: bool, relu: bool):
+    """Returns fn(conv_module, A, x) applying the conv, optionally under
+    nn.remat (jax.checkpoint). relu is closed over — it cannot be a traced
+    kwarg under the lifted transform."""
+    fn = lambda conv, A, x: conv(A, x, relu=relu)
+    return nn.remat(fn) if remat else fn
+
+
 def global_mean_pool(x: jax.Array, graph_ids: jax.Array, num_graphs: int):
     """Mean of node embeddings per graph (PyG global_mean_pool equivalent)."""
     sums = jax.ops.segment_sum(x, graph_ids, num_segments=num_graphs)
@@ -34,24 +42,34 @@ def global_mean_pool(x: jax.Array, graph_ids: jax.Array, num_graphs: int):
 
 
 class GCNModel(nn.Module):
-    """2-layer GCN for node classification (GAT_PYNQ with attention off)."""
+    """2-layer GCN for node classification (GAT_PYNQ with attention off).
+
+    ``remat`` rematerializes each conv in the backward pass
+    (jax.checkpoint) — trades FLOPs for activation memory on large graphs.
+    """
 
     num_features: int
     hidden_channels: int
     num_classes: int
     calibration: Optional[CalibrationTable] = None
     dropout: float = 0.5
+    remat: bool = False
 
     @nn.compact
     def __call__(self, A: SparseMatrix, x, *, training: bool = False):
         cal = self.calibration
         q1 = cal.layer_params(0) if cal else None
         q2 = cal.layer_params(1) if cal else None
-        x = GCNConv(self.num_features, self.hidden_channels, quant=q1)(
-            A, x, relu=True
+        # explicit names keep the param tree identical with/without remat
+        x = _conv_apply(self.remat, True)(
+            GCNConv(self.num_features, self.hidden_channels, quant=q1,
+                    name="conv1"),
+            A, x,
         )
-        x = GCNConv(self.hidden_channels, self.hidden_channels, quant=q2)(
-            A, x, relu=False
+        x = _conv_apply(self.remat, False)(
+            GCNConv(self.hidden_channels, self.hidden_channels, quant=q2,
+                    name="conv2"),
+            A, x,
         )
         x = nn.Dropout(self.dropout, deterministic=not training)(x)
         return nn.Dense(self.num_classes)(x)
@@ -67,26 +85,35 @@ class GATModel(nn.Module):
     alpha: float = 0.2
     calibration: Optional[CalibrationTable] = None
     dropout: float = 0.5
+    remat: bool = False
 
     @nn.compact
     def __call__(self, A: SparseMatrix, x, *, training: bool = False):
         cal = self.calibration
         q1 = cal.layer_params(0) if cal else None
         q2 = cal.layer_params(1) if cal else None
-        x = GATConv(
-            self.num_features,
-            self.hidden_channels,
-            nheads=self.nheads,
-            alpha=self.alpha,
-            quant=q1,
-        )(A, x, relu=True)
-        x = GATConv(
-            self.hidden_channels * self.nheads,
-            self.hidden_channels,
-            nheads=1,
-            alpha=self.alpha,
-            quant=q2,
-        )(A, x, relu=False)
+        x = _conv_apply(self.remat, True)(
+            GATConv(
+                self.num_features,
+                self.hidden_channels,
+                nheads=self.nheads,
+                alpha=self.alpha,
+                quant=q1,
+                name="conv1",
+            ),
+            A, x,
+        )
+        x = _conv_apply(self.remat, False)(
+            GATConv(
+                self.hidden_channels * self.nheads,
+                self.hidden_channels,
+                nheads=1,
+                alpha=self.alpha,
+                quant=q2,
+                name="conv2",
+            ),
+            A, x,
+        )
         x = nn.Dropout(self.dropout, deterministic=not training)(x)
         return nn.Dense(self.num_classes)(x)
 
@@ -104,6 +131,7 @@ class MoleculeGCN(nn.Module):
     num_classes: int
     calibration: Optional[CalibrationTable] = None
     dropout: float = 0.5
+    remat: bool = False
 
     @nn.compact
     def __call__(
@@ -118,11 +146,15 @@ class MoleculeGCN(nn.Module):
         cal = self.calibration
         q1 = cal.layer_params(0) if cal else None
         q2 = cal.layer_params(1) if cal else None
-        x = GCNConv(self.num_features, self.hidden_channels, quant=q1)(
-            A, x, relu=True
+        x = _conv_apply(self.remat, True)(
+            GCNConv(self.num_features, self.hidden_channels, quant=q1,
+                    name="conv1"),
+            A, x,
         )
-        x = GCNConv(self.hidden_channels, self.hidden_channels, quant=q2)(
-            A, x, relu=False
+        x = _conv_apply(self.remat, False)(
+            GCNConv(self.hidden_channels, self.hidden_channels, quant=q2,
+                    name="conv2"),
+            A, x,
         )
         x = global_mean_pool(x, graph_ids, num_graphs)
         x = nn.Dropout(self.dropout, deterministic=not training)(x)

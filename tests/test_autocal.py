@@ -26,7 +26,7 @@ def test_harvest_telemetry_ranges(rng):
     np.testing.assert_allclose(
         first["x_amax"], float(jnp.max(jnp.abs(x))), rtol=1e-6
     )
-    W1 = params["params"]["GCNConv_0"]["weight"]
+    W1 = params["params"]["conv1"]["weight"]
     np.testing.assert_allclose(
         first["w_absmax"], float(jnp.max(jnp.abs(W1))), rtol=1e-6
     )

@@ -86,7 +86,7 @@ def test_gat_model_shapes(rng, nheads):
     out = model.apply(params, A, x)
     assert out.shape == (24, 5)
     # parameter shapes mirror the reference (sgrace.py:1176-1179)
-    p1 = params["params"]["GATConv_0"]
+    p1 = params["params"]["conv1"]
     assert p1["weight"].shape == (12, 16 * nheads)
     assert p1["attention"].shape == (2 * 16 * nheads, 1)
 
@@ -117,7 +117,7 @@ def test_gradients_flow_through_quantized_layers(rng):
         return jnp.sum(model.apply(p, A, x) ** 2)
 
     grads = jax.grad(loss)(params)
-    gw = grads["params"]["GCNConv_0"]["weight"]
+    gw = grads["params"]["conv1"]["weight"]
     assert float(jnp.abs(gw).sum()) > 0  # STE passes gradient
 
 

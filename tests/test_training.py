@@ -78,6 +78,57 @@ def test_molecule_graph_classification_anchor():
     assert hist.best_test_acc >= 0.76, hist.best_test_acc
 
 
+def test_remat_model_matches(rng_seed=0):
+    """remat=True must not change outputs or gradients."""
+    import jax
+    import jax.numpy as jnp
+    from sgracex1_tpu.graph.normalize import sym_norm
+
+    data = sbm_node_classification(n=100, num_classes=2, seed=9)
+    A = sym_norm(data.edge_index, data.num_nodes)
+    x = np.asarray(data.x)
+    kw = dict(
+        num_features=data.num_features, hidden_channels=8, num_classes=2
+    )
+    m0 = GCNModel(**kw)
+    m1 = GCNModel(**kw, remat=True)
+    params = m0.init(jax.random.PRNGKey(0), A, jnp.asarray(x))
+
+    def loss(m, p):
+        return jnp.sum(m.apply(p, A, jnp.asarray(x)) ** 2)
+
+    l0, g0 = jax.value_and_grad(lambda p: loss(m0, p))(params)
+    l1, g1 = jax.value_and_grad(lambda p: loss(m1, p))(params)
+    np.testing.assert_allclose(float(l0), float(l1), rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5)
+
+
+def test_orbax_train_state_roundtrip(tmp_path):
+    """Full train-state (params + optimizer) checkpoint via orbax."""
+    import jax
+    from sgracex1_tpu.train.checkpoint import (
+        save_train_state_orbax,
+        load_train_state_orbax,
+    )
+
+    data = sbm_node_classification(n=100, num_classes=2, seed=10)
+    cfg = SGRACEConfig(hidden_channels=8, num_epochs=3, learning_rate=0.01)
+    model = GCNModel(
+        num_features=data.num_features, hidden_channels=8, num_classes=2
+    )
+    state, _ = train_node_classifier(model, data, cfg)
+    save_train_state_orbax(str(tmp_path / "ckpt"), state.params, step=3)
+    restored = load_train_state_orbax(
+        str(tmp_path / "ckpt"), jax.device_get(state.params), step=3
+    )
+    for a, b in zip(
+        jax.tree.leaves(jax.device_get(state.params)),
+        jax.tree.leaves(restored),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_checkpoint_roundtrip(tmp_path):
     data = sbm_node_classification(n=128, num_classes=2, seed=5)
     cfg = SGRACEConfig(hidden_channels=8, num_epochs=2, learning_rate=0.01)
