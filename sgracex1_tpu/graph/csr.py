@@ -9,8 +9,10 @@ rows/cols — no re-sort needed for unsorted segment sums).
 
 ``SparseMatrix`` is a registered pytree: arrays (rows/cols/vals) are leaves and
 flow through jit/vmap/shard_map; shape and true-nnz are static metadata.
-Padding entries carry ``val == 0`` and ``row == col == 0`` so they contribute
-nothing to any matmul.
+Padding entries carry ``val == 0`` (so they contribute nothing to any
+matmul), ``col == 0``, and ``row == n_rows - 1`` — the last row id, so that
+row-sortedness survives padding and segment reductions can take XLA's
+sorted-indices fast path.
 """
 
 from __future__ import annotations
@@ -45,6 +47,11 @@ class SparseMatrix:
     vals: jax.Array
     shape: Tuple[int, int] = dataclasses.field(metadata=dict(static=True))
     nnz: int = dataclasses.field(metadata=dict(static=True))
+    # True when rows are non-decreasing (the from_coo default) — lets
+    # segment reductions take XLA's sorted-scatter fast path
+    rows_sorted: bool = dataclasses.field(
+        default=False, metadata=dict(static=True)
+    )
 
     # ------------------------------------------------------------- properties
     @property
@@ -83,7 +90,9 @@ class SparseMatrix:
             order = np.lexsort((cols, rows))
             rows, cols, vals = rows[order], cols[order], vals[order]
         e_pad = max(_round_up(max(nnz, 1), pad_to), pad_to)
-        pr = np.zeros(e_pad, dtype=np.int32)
+        # padding rows carry the LAST row id so row-sortedness survives
+        # padding (vals are 0, so they contribute nothing anywhere)
+        pr = np.full(e_pad, max(0, int(shape[0]) - 1), dtype=np.int32)
         pc = np.zeros(e_pad, dtype=np.int32)
         pv = np.zeros(e_pad, dtype=vals.dtype if vals.size else np.float32)
         pr[:nnz], pc[:nnz], pv[:nnz] = rows, cols, vals
@@ -96,6 +105,7 @@ class SparseMatrix:
             vals=pv,
             shape=(int(shape[0]), int(shape[1])),
             nnz=nnz,
+            rows_sorted=bool(np.all(np.diff(pr) >= 0)),
         )
 
     @staticmethod
@@ -164,6 +174,7 @@ class SparseMatrix:
             vals=self.vals,
             shape=(self.shape[1], self.shape[0]),
             nnz=self.nnz,
+            rows_sorted=False,
         )
 
     def astype(self, dtype) -> "SparseMatrix":
@@ -176,9 +187,14 @@ class SparseMatrix:
         pad = e_pad - self.e_pad
         if pad == 0:
             return self
-        z = lambda a: np.concatenate([np.asarray(a), np.zeros(pad, a.dtype)])
+        fill = lambda a, v: np.concatenate(
+            [np.asarray(a), np.full(pad, v, a.dtype)]
+        )
         return dataclasses.replace(
-            self, rows=z(self.rows), cols=z(self.cols), vals=z(self.vals)
+            self,
+            rows=fill(self.rows, max(0, self.n_rows - 1)),
+            cols=fill(self.cols, 0),
+            vals=fill(self.vals, 0),
         )
 
     def device(self, device=None) -> "SparseMatrix":

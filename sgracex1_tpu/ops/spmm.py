@@ -28,7 +28,12 @@ def spmm(A: SparseMatrix, H: jax.Array, *, accum_dtype=jnp.float32) -> jax.Array
     """
     gathered = jnp.take(H, A.cols, axis=0).astype(accum_dtype)
     weighted = gathered * A.vals.astype(accum_dtype)[:, None]
-    out = jax.ops.segment_sum(weighted, A.rows, num_segments=A.n_rows)
+    out = jax.ops.segment_sum(
+        weighted,
+        A.rows,
+        num_segments=A.n_rows,
+        indices_are_sorted=A.rows_sorted,
+    )
     return out.astype(H.dtype)
 
 

@@ -220,17 +220,24 @@ def dist_gat_layer_halo(
     *,
     alpha: float = 0.2,
     relu: bool = False,
+    nheads: int = 1,
 ) -> jax.Array:
-    """GAT layer with boundary-only exchange.
+    """GAT layer with boundary-only exchange (multi-head).
 
     The row partition keeps each row's edges (and therefore its softmax) in
     one shard; attention scores on remote columns are computed from the
     received halo rows (``s2 = halo @ a_dst``) — no full replication of Wh.
-    Gradient semantics match the single-chip layer: scores are computed on
-    gradient-stopped hidden states (reference backward approximation,
-    sgrace.py:1094-1103).
+    One halo exchange serves all heads (the full [N_l, F*H] hidden block is
+    shipped once). Gradient semantics match the single-chip layer: scores
+    are computed on gradient-stopped hidden states (reference backward
+    approximation, sgrace.py:1094-1103).
+
+    W: [F_in, F*H]; attention: [2*F*H, 1] (reference layout,
+    sgrace.py:1176-1179). Output: [n_pad, F*H] (heads concatenated).
     """
-    F = W.shape[1]
+    FH = W.shape[1]
+    assert FH % nheads == 0
+    F = FH // nheads
 
     @partial(
         shard_map,
@@ -247,44 +254,64 @@ def dist_gat_layer_halo(
 
         H_l = jnp.dot(x_l, W_r, preferred_element_type=jnp.float32)
         send = jnp.take(H_l, send_idx.reshape(-1), axis=0).reshape(
-            send_idx.shape + (F,)
+            send_idx.shape + (FH,)
         )
         halo = jax.lax.all_to_all(
             send, "graph", split_axis=0, concat_axis=0, tiled=False
-        ).reshape(-1, F)
+        ).reshape(-1, FH)
 
         Hsg = jax.lax.stop_gradient(H_l)
         halo_sg = jax.lax.stop_gradient(halo)
-        s1_l = jnp.dot(Hsg, a[:F], preferred_element_type=jnp.float32)
-        s2_l = jnp.dot(Hsg, a[F:], preferred_element_type=jnp.float32)
-        s2_h = jnp.dot(halo_sg, a[F:], preferred_element_type=jnp.float32)
+        a_src = a[:FH].reshape(nheads, F)
+        a_dst = a[FH:].reshape(nheads, F)
 
-        # per-edge logits, local and remote edge groups share the softmax
-        # over the destination row — concatenate the two edge sets
-        e_loc = jnp.take(s1_l, rows_loc) + jnp.take(s2_l, cols_loc)
-        e_rem = jnp.take(s1_l, rows_rem) + jnp.take(s2_h, cols_halo)
         rows_all = jnp.concatenate([rows_loc, rows_rem])
-        e = jnp.concatenate([e_loc, e_rem])
-        e = jnp.where(e > 0, e, alpha * e)
         mask = jnp.concatenate([vals_loc, vals_rem]) > 0
-
-        masked = jnp.where(mask, e, _NEG_INF)
-        row_max = jax.ops.segment_max(masked, rows_all, num_segments=G.n_local)
-        row_max = jnp.where(jnp.isfinite(row_max), row_max, 0.0)
-        ex = jnp.where(mask, jnp.exp(masked - jnp.take(row_max, rows_all)), 0.0)
-        denom = jax.ops.segment_sum(ex, rows_all, num_segments=G.n_local)
-        att = ex / jnp.take(jnp.where(denom > 0, denom, 1.0), rows_all)
-
         n_loc = rows_loc.shape[0]
-        out = jax.ops.segment_sum(
-            jnp.take(H_l, cols_loc, axis=0) * att[:n_loc, None],
-            rows_loc,
-            num_segments=G.n_local,
-        ) + jax.ops.segment_sum(
-            jnp.take(halo, cols_halo, axis=0) * att[n_loc:, None],
-            rows_rem,
-            num_segments=G.n_local,
-        )
+
+        outs = []
+        for h in range(nheads):
+            sl = slice(h * F, (h + 1) * F)
+            s1_l = jnp.dot(Hsg[:, sl], a_src[h],
+                           preferred_element_type=jnp.float32)
+            s2_l = jnp.dot(Hsg[:, sl], a_dst[h],
+                           preferred_element_type=jnp.float32)
+            s2_h = jnp.dot(halo_sg[:, sl], a_dst[h],
+                           preferred_element_type=jnp.float32)
+
+            # local and remote edge groups share the softmax over the
+            # destination row — concatenate the two edge sets
+            e_loc = jnp.take(s1_l, rows_loc) + jnp.take(s2_l, cols_loc)
+            e_rem = jnp.take(s1_l, rows_rem) + jnp.take(s2_h, cols_halo)
+            e = jnp.concatenate([e_loc, e_rem])
+            e = jnp.where(e > 0, e, alpha * e)
+
+            masked = jnp.where(mask, e, _NEG_INF)
+            row_max = jax.ops.segment_max(
+                masked, rows_all, num_segments=G.n_local
+            )
+            row_max = jnp.where(jnp.isfinite(row_max), row_max, 0.0)
+            ex = jnp.where(
+                mask, jnp.exp(masked - jnp.take(row_max, rows_all)), 0.0
+            )
+            denom = jax.ops.segment_sum(ex, rows_all, num_segments=G.n_local)
+            att = ex / jnp.take(jnp.where(denom > 0, denom, 1.0), rows_all)
+
+            outs.append(
+                jax.ops.segment_sum(
+                    jnp.take(H_l[:, sl], cols_loc, axis=0)
+                    * att[:n_loc, None],
+                    rows_loc,
+                    num_segments=G.n_local,
+                )
+                + jax.ops.segment_sum(
+                    jnp.take(halo[:, sl], cols_halo, axis=0)
+                    * att[n_loc:, None],
+                    rows_rem,
+                    num_segments=G.n_local,
+                )
+            )
+        out = jnp.concatenate(outs, axis=-1)
         return relu_hw(out) if relu else out
 
     return f(

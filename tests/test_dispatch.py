@@ -56,6 +56,47 @@ def test_dense_backward(rng):
     np.testing.assert_allclose(np.asarray(g), mat.T @ v, rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.parametrize("method", ["pallas", "dense"])
+def test_training_through_prepared_backend(rng, method):
+    """Full flax training step through a PreparedAdjacency backend — pins
+    the custom-VJP integration of the dispatcher in real training."""
+    import optax
+    from sgracex1_tpu.graph.normalize import sym_norm
+    from sgracex1_tpu.nn.models import GCNModel
+    from tests.conftest import make_random_graph
+
+    n = 150
+    A = sym_norm(make_random_graph(rng, n), n)
+    kw = dict(rb=128, cb=128) if method == "pallas" else {}
+    prep = prepare_adjacency(A, method=method, **kw)
+    x = jnp.asarray(rng.standard_normal((n, 8)).astype(np.float32))
+    y = jnp.asarray(rng.integers(0, 3, n).astype(np.int32))
+
+    model = GCNModel(num_features=8, hidden_channels=8, num_classes=3)
+    params = model.init(jax.random.PRNGKey(0), prep, x)
+    opt = optax.adam(0.05)
+    opt_state = opt.init(params)
+
+    @jax.jit
+    def step(params, opt_state):
+        def loss_fn(p):
+            logits = model.apply(p, prep, x)
+            return jnp.mean(
+                optax.softmax_cross_entropy_with_integer_labels(logits, y)
+            )
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = opt.update(grads, opt_state)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    losses = []
+    for _ in range(8):
+        params, opt_state, loss = step(params, opt_state)
+        losses.append(float(loss))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0], losses  # it optimizes
+
+
 def test_prepared_adjacency_under_jit(rng):
     A, mat = _graph(rng)
     prep = prepare_adjacency(A, method="dense")

@@ -93,6 +93,25 @@ def test_halo_gat_matches_single(rng, n_dev):
     np.testing.assert_allclose(out, expect, rtol=1e-4, atol=1e-5)
 
 
+def test_halo_gat_multihead_matches_single(rng):
+    """2-head distributed GAT == single-chip GATConv (same params)."""
+    import jax.numpy as jnp
+    from sgracex1_tpu.nn.layers import GATConv
+
+    n, f, F, H, n_dev = 64, 10, 5, 2, 4
+    A, G, mesh, X, X_d, n_pad = _setup(rng, n, n_dev, f=f)
+    conv = GATConv(f, F, nheads=H)
+    params = conv.init(jax.random.PRNGKey(3), A, jnp.asarray(X))
+    W = params["params"]["weight"]
+    att = params["params"]["attention"]
+
+    expect = np.asarray(conv.apply(params, A, jnp.asarray(X), relu=True))
+    out = np.asarray(
+        dist_gat_layer_halo(mesh, G, X_d, W, att, relu=True, nheads=H)
+    )[:n]
+    np.testing.assert_allclose(out, expect, rtol=1e-4, atol=1e-5)
+
+
 def test_halo_handles_no_remote_edges(rng):
     """Block-diagonal graph: every edge local, halo lists empty."""
     n_dev = 4
