@@ -27,10 +27,10 @@ from sgracex1_tpu.graph.csr import SparseMatrix
 # Reference dataset descriptors (main_float.cpp:40-111). The hidden width
 # P_w comes from the weights file itself (descriptor values vary per build).
 REFERENCE_DATASETS = {
-    "mol": dict(N_adj=2273, M_fea=7, NNZ_adj=5028),
-    "cora": dict(N_adj=2708, M_fea=1433, NNZ_adj=13264),
-    "citeseer": dict(N_adj=3327, M_fea=3703, NNZ_adj=12431),
-    "pubmed": dict(N_adj=19717, M_fea=500, NNZ_adj=108365),
+    "mol": dict(N_adj=2273, M_fea=7, NNZ_adj=5028, NNZ_fea=6819),
+    "cora": dict(N_adj=2708, M_fea=1433, NNZ_adj=13264, NNZ_fea=49216),
+    "citeseer": dict(N_adj=3327, M_fea=3703, NNZ_adj=12431, NNZ_fea=105165),
+    "pubmed": dict(N_adj=19717, M_fea=500, NNZ_adj=108365, NNZ_fea=988031),
 }
 
 
@@ -125,8 +125,19 @@ def load_reference_dataset(
     adj = load_csr_text(
         os.path.join(data_dir, f"{name}_adj.txt"), desc["N_adj"], pad_to=pad_to
     )
-    fea = load_csr_text(
-        os.path.join(data_dir, f"{name}_feat.txt"), desc["M_fea"], pad_to=pad_to
-    )
+    feat_path = os.path.join(data_dir, f"{name}_feat.txt")
+    if os.path.exists(feat_path):
+        fea = load_csr_text(feat_path, desc["M_fea"], pad_to=pad_to)
+    else:
+        # pubmed's feature file is not vendored (the reference's own pubmed
+        # descriptor points at cora paths, main_float.cpp:66-75);
+        # synthesize binary features with the descriptor's dims/nnz
+        rng = np.random.default_rng(0)
+        n, m, nnz = desc["N_adj"], desc["M_fea"], desc["NNZ_fea"]
+        rows = rng.integers(0, n, nnz)
+        cols = rng.integers(0, m, nnz)
+        fea = SparseMatrix.from_coo(
+            rows, cols, np.ones(nnz, np.float32), (n, m), pad_to=pad_to
+        )
     w = load_dense_text(os.path.join(data_dir, f"{name}_weights.txt"))
     return adj, fea, w

@@ -183,6 +183,11 @@ class GATConv(nn.Module, _AmaxMixin):
     nheads: int = 1
     alpha: float = 0.2
     quant: Optional[LayerQuantParams] = None
+    # False (default) mirrors the reference's backward: X/W receive no
+    # gradient through the attention weights (sgrace.py:1094-1103 treats
+    # att as constant). True enables full autodiff through the scores —
+    # the exact GAT gradient, a capability the reference lacks.
+    exact_gradients: bool = False
 
     @nn.compact
     def __call__(
@@ -218,7 +223,11 @@ class GATConv(nn.Module, _AmaxMixin):
         a_src = a[: F * H].reshape(H, F)
         a_dst = a[F * H :].reshape(H, F)
 
-        Wh_sg = jax.lax.stop_gradient(Wh_heads)
+        Wh_sg = (
+            Wh_heads
+            if self.exact_gradients
+            else jax.lax.stop_gradient(Wh_heads)
+        )
         outs, e_heads, s_heads = [], [], []
         for h in range(H):
             e = leaky_relu(

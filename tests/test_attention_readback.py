@@ -102,6 +102,27 @@ def test_quant_backward_actually_quantizes(rng):
     assert not np.allclose(gq, gf)
 
 
+def test_gat_exact_gradients_differ_and_are_finite(rng):
+    """exact_gradients=True must route gradient through the attention
+    scores (different W-grad than the reference approximation), same fwd."""
+    A = _graph(rng)
+    x = jnp.asarray(rng.standard_normal((A.n_rows, 8)).astype(np.float32))
+    c_ref = GATConv(8, 4)
+    c_exact = GATConv(8, 4, exact_gradients=True)
+    params = c_ref.init(jax.random.PRNGKey(0), A, x)
+
+    out_ref = np.asarray(c_ref.apply(params, A, x))
+    out_exa = np.asarray(c_exact.apply(params, A, x))
+    np.testing.assert_allclose(out_ref, out_exa, rtol=1e-6)
+
+    g_ref = jax.grad(lambda p: jnp.sum(c_ref.apply(p, A, x) ** 2))(params)
+    g_exa = jax.grad(lambda p: jnp.sum(c_exact.apply(p, A, x) ** 2))(params)
+    wr = np.asarray(g_ref["params"]["weight"])
+    we = np.asarray(g_exa["params"]["weight"])
+    assert np.all(np.isfinite(we))
+    assert not np.allclose(wr, we)  # the score path carries gradient now
+
+
 def test_gcnconv_go_quant_trains(rng):
     """GCNConv with go_quant set still produces finite grads through flax."""
     A = _graph(rng, n=32)
