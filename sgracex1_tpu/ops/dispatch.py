@@ -104,6 +104,21 @@ def prepare_adjacency(
     raise ValueError(f"unknown method {method!r}")
 
 
+def prepare_from_config(A: SparseMatrix, cfg) -> PreparedAdjacency:
+    """prepare_adjacency driven by SGRACEConfig's kernel-tiling tier
+    (row_block/col_block/edge_block = the reference's compile-time
+    B_WIDTH_BLOCK / SPMM_BLOCK knobs; use_pallas forces the Pallas path)."""
+    be = max(cfg.edge_block, 1024)
+    be = ((be + 1023) // 1024) * 1024  # plan requires multiples of 1024
+    return prepare_adjacency(
+        A,
+        method="pallas" if cfg.use_pallas else "auto",
+        rb=max(cfg.row_block, 8),
+        cb=max(cfg.col_block, 128),
+        be=be,
+    )
+
+
 def agg_matmul(prep: PreparedAdjacency, H: jax.Array) -> jax.Array:
     """out = A @ H via the prepared backend (differentiable)."""
     if prep.kind == "dense":

@@ -48,7 +48,7 @@ def relu_hw(x: jax.Array) -> jax.Array:
 
 def gnn_layer(
     A: SparseMatrix,
-    X: jax.Array,
+    X,
     W: jax.Array,
     *,
     relu: bool = False,
@@ -56,12 +56,16 @@ def gnn_layer(
 ) -> jax.Array:
     """GCN layer: ``ReLU?(A @ (X @ W))`` — reference gemm_mode 0/1 fused call.
 
-    ``X`` may be a dense array (gemm_mode=1) — the sparse-feature fast path
-    (gemm_mode=0) is a storage-level concern handled by the caller keeping X
-    sparse on the host; on TPU the dense MXU matmul is the fast path for all
-    feature matrices that fit.
+    ``X`` is either a dense array (gemm_mode=1 — the MXU fast path for any
+    feature matrix that fits in HBM) or a ``SparseMatrix`` (gemm_mode=0 —
+    the reference's sparse-feature streaming, here the same segment-sum
+    SpMM as the aggregation stage; use for feature matrices too large or
+    too sparse to densify).
     """
-    H = jnp.dot(X, W, preferred_element_type=accum_dtype).astype(X.dtype)
+    if isinstance(X, SparseMatrix):
+        H = spmm(X, W.astype(accum_dtype), accum_dtype=accum_dtype)
+    else:
+        H = jnp.dot(X, W, preferred_element_type=accum_dtype).astype(X.dtype)
     out = spmm(A, H, accum_dtype=accum_dtype)
     return relu_hw(out) if relu else out
 

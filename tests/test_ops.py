@@ -101,6 +101,20 @@ def test_gnn_layer_forward(rng):
     np.testing.assert_allclose(out, expect, rtol=1e-4, atol=1e-4)
 
 
+def test_gnn_layer_sparse_features(rng):
+    """gemm_mode=0 path: X staged as a SparseMatrix matches the dense path."""
+    import jax.numpy as jnp
+    from sgracex1_tpu.graph.csr import SparseMatrix
+
+    A, mat = _rand_sparse(rng, 30, 30)
+    X = (rng.uniform(size=(30, 10)) < 0.2).astype(np.float32)
+    W = rng.standard_normal((10, 8)).astype(np.float32)
+    X_sp = SparseMatrix.from_dense(X)
+    out_sparse = np.asarray(gnn_layer(A, X_sp, jnp.asarray(W), relu=True))
+    out_dense = np.asarray(gnn_layer(A, jnp.asarray(X), jnp.asarray(W), relu=True))
+    np.testing.assert_allclose(out_sparse, out_dense, rtol=1e-5, atol=1e-5)
+
+
 def test_gnn_layer_backward_matches_reference_formulas(rng):
     """grad_W = X^T (A^T gO'), grad_X = A^T gO' W^T with relu mask gO'
     (reference formulas sgrace.py:1094-1103 + RPYNQ mask; reference assumes
