@@ -121,8 +121,12 @@ def make_batches(
         batch_graphs([graphs[i] for i in c], n_pad=n_pad, g_pad=g_pad, pad_to=pad_to)
         for c in chunks
     ]
-    # unify edge padding so all batches share one compiled program
+    # unify edge padding AND static nnz so all batches share one compiled
+    # program (nnz is static jit metadata on SparseMatrix)
     e_pad = max(b.A.e_pad for b in batches)
     return [
-        dataclasses.replace(b, A=b.A.pad_edges_to(e_pad)) for b in batches
+        dataclasses.replace(
+            b, A=b.A.pad_edges_to(e_pad).with_uniform_nnz()
+        )
+        for b in batches
     ]

@@ -207,6 +207,13 @@ class SparseMatrix:
         assert vals.shape == self.vals.shape
         return dataclasses.replace(self, vals=vals)
 
+    def with_uniform_nnz(self) -> "SparseMatrix":
+        """Set the static nnz to e_pad so differently-filled batches share
+        one jit specialization (padding entries have val == 0, so every
+        computation is unchanged; only nnz-dependent host utilities like
+        to_scipy/pad_mask would see the padding as real edges)."""
+        return dataclasses.replace(self, nnz=self.e_pad)
+
     def pad_mask(self) -> jax.Array:
         """bool[E_pad] — True for real edges, False for padding."""
         idx = jnp.arange(self.e_pad)

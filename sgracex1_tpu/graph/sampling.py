@@ -109,8 +109,14 @@ def make_neighbor_batches(
     fanouts: Sequence[int] = (10, 10),
     rng: Optional[np.random.Generator] = None,
     pad_to: int = 128,
+    n_pad: int = 0,
+    e_pad: int = 0,
 ) -> List[SampledBatch]:
-    """One epoch of NeighborLoader-style batches over ``train_nodes``."""
+    """One epoch of NeighborLoader-style batches over ``train_nodes``.
+
+    ``n_pad``/``e_pad`` set pad floors so successive epochs keep the shapes
+    of the first (one compiled program per training run instead of one per
+    epoch); they grow automatically if a later epoch samples bigger."""
     rng = rng or np.random.default_rng(0)
     num_nodes = x.shape[0]
     sampler = NeighborSampler(edge_index, num_nodes)
@@ -122,16 +128,23 @@ def make_neighbor_batches(
     ]
     raw = [sampler.sample(c, fanouts, rng) for c in chunks]
 
-    n_pad = _round_up(max(len(ids) for _, ids in raw), pad_to)
-    e_pad = _round_up(max(ei.shape[1] + n_pad for ei, _ in raw), pad_to)
+    n_pad = max(n_pad, _round_up(max(len(ids) for _, ids in raw), pad_to))
+    e_pad = max(
+        e_pad, _round_up(max(ei.shape[1] + n_pad for ei, _ in raw), pad_to)
+    )
 
     batches = []
     for (ei, ids), seeds in zip(raw, chunks):
         k = len(ids)
         ei_n, ew = sym_norm_edges(ei, k)
-        A = SparseMatrix.from_coo(
-            ei_n[0], ei_n[1], ew, (n_pad, n_pad), pad_to=pad_to, sort=False
-        ).pad_edges_to(e_pad)
+        A = (
+            SparseMatrix.from_coo(
+                ei_n[0], ei_n[1], ew, (n_pad, n_pad), pad_to=pad_to,
+                sort=False,
+            )
+            .pad_edges_to(e_pad)
+            .with_uniform_nnz()  # one jit specialization across batches
+        )
         xb = np.zeros((n_pad,) + x.shape[1:], x.dtype)
         xb[:k] = x[ids]
         yb = np.zeros(n_pad, np.int32)

@@ -172,11 +172,15 @@ def train_node_classifier_sampled(
         }
 
     hist = History()
+    n_pad = e_pad = 0  # sticky pad floors: one compiled program per run
     for epoch in range(cfg.num_epochs):
         batches = make_neighbor_batches(
             data.edge_index, data.x, data.y, train_nodes,
             batch_size=batch_size, fanouts=fanouts, rng=np_rng,
+            n_pad=n_pad, e_pad=e_pad,
         )
+        n_pad = max(n_pad, batches[0].x.shape[0])
+        e_pad = max(e_pad, batches[0].A.e_pad)
         for b in batches:
             rng, drng = jax.random.split(rng)
             state, loss = step(
