@@ -42,10 +42,14 @@ def global_mean_pool(x: jax.Array, graph_ids: jax.Array, num_graphs: int):
 
 
 class GCNModel(nn.Module):
-    """2-layer GCN for node classification (GAT_PYNQ with attention off).
+    """N-layer GCN for node classification (GAT_PYNQ with attention off;
+    depth = the reference's ``layer_count`` register, sgrace.py:1852 —
+    default 2 like every reference deployment).
 
     ``remat`` rematerializes each conv in the backward pass
     (jax.checkpoint) — trades FLOPs for activation memory on large graphs.
+    Quantized layers beyond the first share the reference's layer-2
+    constant set (its ``layern`` state only alternates two tables).
     """
 
     num_features: int
@@ -54,23 +58,21 @@ class GCNModel(nn.Module):
     calibration: Optional[CalibrationTable] = None
     dropout: float = 0.5
     remat: bool = False
+    num_layers: int = 2
 
     @nn.compact
     def __call__(self, A: SparseMatrix, x, *, training: bool = False):
         cal = self.calibration
-        q1 = cal.layer_params(0) if cal else None
-        q2 = cal.layer_params(1) if cal else None
         # explicit names keep the param tree identical with/without remat
-        x = _conv_apply(self.remat, True)(
-            GCNConv(self.num_features, self.hidden_channels, quant=q1,
-                    name="conv1"),
-            A, x,
-        )
-        x = _conv_apply(self.remat, False)(
-            GCNConv(self.hidden_channels, self.hidden_channels, quant=q2,
-                    name="conv2"),
-            A, x,
-        )
+        for i in range(self.num_layers):
+            q = cal.layer_params(i) if cal else None
+            f_in = self.num_features if i == 0 else self.hidden_channels
+            last = i == self.num_layers - 1
+            x = _conv_apply(self.remat, not last)(
+                GCNConv(f_in, self.hidden_channels, quant=q,
+                        name=f"conv{i + 1}"),
+                A, x,
+            )
         x = nn.Dropout(self.dropout, deterministic=not training)(x)
         return nn.Dense(self.num_classes)(x)
 

