@@ -1,0 +1,162 @@
+"""Block-sparse (BSR) aggregation: dense tiles on the MXU.
+
+The one-hot Pallas kernel (ops/pallas_spmm.py) pays ~(rb+cb)/2 redundant
+FLOPs per edge to express gather/scatter as matmuls. This backend removes
+the indices entirely: the adjacency is stored as the set of *nonempty*
+``tb x tb`` dense tiles, and aggregation is a batched dense matmul per tile
+with row-block accumulation — pure MXU, no gather. After RCM reordering
+(graph/reorder.py) real graphs keep only a fraction of their tiles
+(measured: citeseer 49/169, pubmed 2332/6084 at tb=256), so this does
+~3x less FLOPs AND bytes than the dense backend while keeping its
+simplicity. This is the TPU-native descendant of the reference's
+SPMM_BLOCK row-grouping idea: trade fine-grained sparsity for regular
+dense blocks the hardware is fast at.
+
+Two execution paths: an XLA one (einsum + segment-sum over tiles) that
+differentiates natively, and a Pallas kernel with output-block revisit
+accumulation for large graphs.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from sgracex1_tpu.graph.csr import SparseMatrix
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class BSRMatrix:
+    """Nonempty dense tiles of a sparse matrix, sorted by (rb, cb)."""
+
+    tiles: jax.Array  # [T, tb, tb]
+    tile_rb: jax.Array  # int32[T]
+    tile_cb: jax.Array  # int32[T]
+    n_rows: int = dataclasses.field(metadata=dict(static=True))
+    n_cols: int = dataclasses.field(metadata=dict(static=True))
+    tb: int = dataclasses.field(metadata=dict(static=True))
+
+    @property
+    def num_tiles(self) -> int:
+        return self.tiles.shape[0]
+
+    @property
+    def n_row_tiles(self) -> int:
+        return _round_up(self.n_rows, self.tb) // self.tb
+
+
+def bsr_from_sparse(
+    A: SparseMatrix, *, tb: int = 256, dtype=jnp.bfloat16
+) -> BSRMatrix:
+    """Host-side build: densify each nonempty (rb, cb) tile."""
+    r = np.asarray(A.rows[: A.nnz])
+    c = np.asarray(A.cols[: A.nnz])
+    v = np.asarray(A.vals[: A.nnz], dtype=np.float32)
+    trb, tcb = r // tb, c // tb
+    key = trb.astype(np.int64) * (1 << 32) + tcb
+    uniq, inv = np.unique(key, return_inverse=True)
+    T = max(len(uniq), 1)
+    tiles = np.zeros((T, tb, tb), np.float32)
+    np.add.at(tiles, (inv, r % tb, c % tb), v)
+    tile_rb = (uniq >> 32).astype(np.int32)
+    tile_cb = (uniq & 0xFFFFFFFF).astype(np.int32)
+    if len(uniq) == 0:
+        tile_rb = np.zeros(1, np.int32)
+        tile_cb = np.zeros(1, np.int32)
+    return BSRMatrix(
+        tiles=jnp.asarray(tiles).astype(dtype),
+        tile_rb=jnp.asarray(tile_rb),
+        tile_cb=jnp.asarray(tile_cb),
+        n_rows=A.n_rows,
+        n_cols=A.n_cols,
+        tb=tb,
+    )
+
+
+def bsr_spmm_xla(B: BSRMatrix, H: jax.Array) -> jax.Array:
+    """out = A @ H via batched tile matmuls + tile-row segment sum (XLA)."""
+    tb = B.tb
+    n_ct = _round_up(B.n_cols, tb) // tb
+    n_rt = B.n_row_tiles
+    P = H.shape[1]
+    if H.shape[0] != n_ct * tb:
+        H = jnp.pad(H, ((0, n_ct * tb - H.shape[0]), (0, 0)))
+    Hg = H.reshape(n_ct, tb, P)[B.tile_cb]  # [T, tb, P]
+    prod = jax.lax.dot_general(
+        B.tiles.astype(jnp.bfloat16),
+        Hg.astype(jnp.bfloat16),
+        (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )  # [T, tb, P]
+    out = jax.ops.segment_sum(prod, B.tile_rb, num_segments=n_rt)
+    return out.reshape(n_rt * tb, P)[: B.n_rows]
+
+
+def _bsr_kernel(tile_rb, tile_cb, a_ref, h_ref, out_ref):
+    g = pl.program_id(0)
+    first = jnp.logical_or(g == 0, tile_rb[g] != tile_rb[jnp.maximum(g - 1, 0)])
+
+    @pl.when(first)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    out_ref[:] += jax.lax.dot_general(
+        a_ref[:].astype(jnp.bfloat16),
+        h_ref[:].astype(jnp.bfloat16),
+        (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def bsr_spmm_pallas(
+    B: BSRMatrix, H: jax.Array, *, interpret: bool | None = None
+) -> jax.Array:
+    """out = A @ H with one dense-tile matmul per grid step (tiles are
+    sorted by row block, so each output block accumulates over a
+    contiguous run of steps — the same revisit pattern as a matmul
+    k-loop)."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    tb = B.tb
+    n_ct = _round_up(B.n_cols, tb) // tb
+    n_rt = B.n_row_tiles
+    P = H.shape[1]
+    if H.shape[0] != n_ct * tb:
+        H = jnp.pad(H, ((0, n_ct * tb - H.shape[0]), (0, 0)))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(B.num_tiles,),
+        in_specs=[
+            pl.BlockSpec((1, tb, tb), lambda g, rbs, cbs: (g, 0, 0)),
+            pl.BlockSpec((tb, P), lambda g, rbs, cbs: (cbs[g], 0)),
+        ],
+        out_specs=pl.BlockSpec((tb, P), lambda g, rbs, cbs: (rbs[g], 0)),
+    )
+
+    def kernel(tile_rb, tile_cb, a_ref, h_ref, out_ref):
+        _bsr_kernel(tile_rb, tile_cb, a_ref[0], h_ref, out_ref)
+
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_rt * tb, P), jnp.float32),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B.num_tiles * tb * tb * P,
+            bytes_accessed=B.num_tiles * (tb * tb * 2 + tb * P * 4 * 2),
+            transcendentals=0,
+        ),
+    )(B.tile_rb, B.tile_cb, B.tiles, H)
+    return out[: B.n_rows]
