@@ -8,9 +8,9 @@ vs_baseline is the speedup factor over the 4.65 ms baseline.
 
 Timing methodology: the TPU relay in this environment has ~25 ms round-trip
 sync latency and async dispatch that `block_until_ready` does not fully
-cover, so the op is iterated K times inside one jitted fori_loop with a data
-dependence, synced once via host readback, and the 1-iteration baseline is
-subtracted (see .claude/skills/verify/SKILL.md).
+cover, so the op is iterated inside one jitted fori_loop with a data
+dependence and synced once via host readback, at two iteration counts whose
+difference divides out the per-call relay overhead (see timed_loop).
 """
 
 from __future__ import annotations
@@ -53,8 +53,16 @@ def load_citeseer():
     return adj, X, w
 
 
-def timed_loop(step, init, iters=200, reps=5):
-    """Median wall time per iteration of `step`, amortized inside one jit."""
+def timed_loop(step, init, k1=400, k2=2400, reps=7):
+    """Median wall time per iteration of `step`, amortized inside one jit.
+
+    Two-point estimator: time a k1-iteration and a k2-iteration fori_loop
+    and divide the difference by (k2 - k1). Both loops carry the same relay
+    round-trip overhead, so it cancels; the iteration counts are large
+    enough that (k2 - k1) * per_iter >> relay jitter (several ms), which a
+    (k, 1)-point estimator at k=200 is not (measured spread 0.001-0.086 ms
+    across identical runs; this estimator repeats to within ~2%).
+    """
     import jax
     import jax.numpy as jnp
 
@@ -71,8 +79,7 @@ def timed_loop(step, init, iters=200, reps=5):
             ts.append(time.time() - t)
         return np.median(ts)
 
-    tk, t1 = run(iters), run(1)
-    return (tk - t1) / (iters - 1)
+    return (run(k2) - run(k1)) / (k2 - k1)
 
 
 DEADLINE_S = 480.0  # overall benchmark deadline (hung-relay protection)

@@ -16,9 +16,17 @@ def sync(x) -> float:
     return float(jnp.sum(x))
 
 
-def timed_loop(step: Callable, init, *, iters: int = 1000, reps: int = 5) -> float:
+def timed_loop(
+    step: Callable, init, *, iters: int = 1000, k1: int | None = None,
+    reps: int = 7,
+) -> float:
     """Median seconds/iteration amortized inside one jit (fori_loop with a
-    data dependence), 1-iteration baseline subtracted."""
+    data dependence). Two-point estimator: the difference between a k1- and
+    an iters-iteration loop divides out the relay round-trip overhead, and
+    both counts are large enough that the work difference dwarfs relay
+    jitter (a (k, 1) estimator is not — see bench.py timed_loop)."""
+    if k1 is None:
+        k1 = max(iters // 6, 1)
 
     def run(k):
         @jax.jit
@@ -33,7 +41,7 @@ def timed_loop(step: Callable, init, *, iters: int = 1000, reps: int = 5) -> flo
             ts.append(time.time() - t)
         return float(np.median(ts))
 
-    return (run(iters) - run(1)) / (iters - 1)
+    return (run(iters) - run(k1)) / (iters - k1)
 
 
 def load(name: str):
