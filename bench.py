@@ -53,7 +53,7 @@ def load_citeseer():
     return adj, X, w
 
 
-def timed_loop(step, init, k1=400, k2=2400, reps=7):
+def timed_loop(step, init, consts=(), k1=400, k2=2400, reps=7):
     """Median wall time per iteration of `step`, amortized inside one jit.
 
     Two-point estimator: time a k1-iteration and a k2-iteration fori_loop
@@ -68,14 +68,17 @@ def timed_loop(step, init, k1=400, k2=2400, reps=7):
 
     def run(k):
         @jax.jit
-        def f(x0):
-            return jax.lax.fori_loop(0, k, lambda i, x: step(x), x0)
+        def f(x0, consts):
+            # consts (adjacency, weights) enter as jit ARGUMENTS — closure
+            # capture would embed them into the program sent to the remote
+            # compiler (fails outright at large-graph sizes)
+            return jax.lax.fori_loop(0, k, lambda i, x: step(x, *consts), x0)
 
-        float(jnp.sum(f(init)))  # compile + warm
+        float(jnp.sum(f(init, consts)))  # compile + warm
         ts = []
         for _ in range(reps):
             t = time.time()
-            float(jnp.sum(f(init)))
+            float(jnp.sum(f(init, consts)))
             ts.append(time.time() - t)
         return np.median(ts)
 
@@ -111,14 +114,14 @@ def main():
     X = X.astype(jnp.bfloat16)
     W = W.astype(jnp.bfloat16)
 
-    def layer_step(x):
+    def layer_step(x, prep, W):
         h = jnp.dot(x, W, preferred_element_type=jnp.float32)
         out = agg_matmul(prep, h.astype(jnp.bfloat16))
         # data dependence to stop loop-invariant hoisting: feed the output
         # back into the leading columns of x (slice update, not scatter)
         return x.at[:, : out.shape[1]].add(out.astype(x.dtype) * 1e-12)
 
-    sec = timed_loop(layer_step, X)
+    sec = timed_loop(layer_step, X, consts=(prep, W))
     ms = sec * 1000.0
     edges_per_s = CITESEER["NNZ_ADJ"] / sec
     log(f"citeseer layer fwd: {ms:.4f} ms  ({edges_per_s/1e6:.0f} M adj-edges/s)")

@@ -28,11 +28,11 @@ def bench_dataset(name: str, methods=("dense", "pallas", "xla")):
             prep = prepare_adjacency(adj, method=method)
             prep = jax.device_put(prep)
 
-            def step(h):
+            def step(h, prep):
                 out = agg_matmul(prep, h)
                 return h.at[: out.shape[0], :].add(out.astype(h.dtype) * 1e-12)
 
-            sec = timed_loop(step, H, iters=1000)
+            sec = timed_loop(step, H, consts=(prep,), iters=1000)
             eps = adj.nnz / sec
             print(
                 f"  {method:7s} {sec * 1e3:8.4f} ms   {eps / 1e9:8.2f} B edges/s"

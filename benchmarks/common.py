@@ -17,27 +17,34 @@ def sync(x) -> float:
 
 
 def timed_loop(
-    step: Callable, init, *, iters: int = 1000, k1: int | None = None,
-    reps: int = 7,
+    step: Callable, init, *, consts=(), iters: int = 1000,
+    k1: int | None = None, reps: int = 7,
 ) -> float:
     """Median seconds/iteration amortized inside one jit (fori_loop with a
     data dependence). Two-point estimator: the difference between a k1- and
     an iters-iteration loop divides out the relay round-trip overhead, and
     both counts are large enough that the work difference dwarfs relay
-    jitter (a (k, 1) estimator is not — see bench.py timed_loop)."""
+    jitter (a (k, 1) estimator is not — see bench.py timed_loop).
+
+    ``consts`` (any pytree of arrays, e.g. a PreparedAdjacency) is passed as
+    a jit ARGUMENT, not closed over: jit embeds closure-captured arrays into
+    the compiled program, which ships the whole adjacency to the remote
+    compiler (HTTP 413 at pubmed size) and distorts what is measured."""
     if k1 is None:
         k1 = max(iters // 6, 1)
 
     def run(k):
         @jax.jit
-        def f(x0):
-            return jax.lax.fori_loop(0, k, lambda i, x: step(x), x0)
+        def f(x0, consts):
+            return jax.lax.fori_loop(
+                0, k, lambda i, x: step(x, *consts), x0
+            )
 
-        sync(f(init))
+        sync(f(init, consts))
         ts = []
         for _ in range(reps):
             t = time.time()
-            sync(f(init))
+            sync(f(init, consts))
             ts.append(time.time() - t)
         return float(np.median(ts))
 

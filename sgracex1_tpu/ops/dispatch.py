@@ -75,6 +75,43 @@ class PreparedAdjacency:
         return self.A.with_vals(vals)
 
 
+# measured on the v5e relay (2026-08): effective HBM read bandwidth and
+# per-grid-step overhead of a Pallas kernel; used only for backend choice
+_HBM_BPS = 800e9
+_STEP_S = 0.7e-6
+_PALLAS_GROUP_S = 7e-6  # one-hot kernel, be=1024 (measured pubmed/citeseer)
+
+
+def _estimate_backend_costs(A: SparseMatrix, dense_dtype, tbs=(128, 256, 512)):
+    """Rough per-aggregation seconds for each backend — calibrated against
+    measured sweeps (citeseer: dense 19us > bsr; pubmed RCM: bsr512 0.58ms
+    < pallas 0.75ms < dense 1.04ms). Lane width 128 is the padded P."""
+    itemsize = jnp.dtype(dense_dtype).itemsize
+    n = max(A.n_rows, A.n_cols)
+    r = np.asarray(A.rows[: A.nnz])
+    c = np.asarray(A.cols[: A.nnz])
+    costs = {"dense": n * n * itemsize / _HBM_BPS + _STEP_S}
+    best_tb, best_t = None, np.inf
+    for tb in tbs:
+        n_tiles = max(
+            len(np.unique((r // tb).astype(np.int64) * (1 << 32) + c // tb)), 1
+        )
+        t = (
+            n_tiles * (tb * tb * itemsize + tb * 128 * 2) / _HBM_BPS
+            + n_tiles * _STEP_S
+        )
+        if t < best_t:
+            best_tb, best_t = tb, t
+    costs["bsr"] = best_t
+    # one-hot kernel: groups = tiles' edges padded to be=1024 slots
+    rb_, cb_ = 1024, 1024
+    keys = (r // rb_).astype(np.int64) * (1 << 32) + c // cb_
+    _, counts = np.unique(keys, return_counts=True)
+    n_groups = int(np.sum(-(-counts // 1024))) if len(counts) else 1
+    costs["pallas"] = n_groups * _PALLAS_GROUP_S
+    return costs, best_tb
+
+
 def prepare_adjacency(
     A: SparseMatrix,
     *,
@@ -84,25 +121,24 @@ def prepare_adjacency(
     rb: int = 1024,
     cb: int = 1024,
     be: int = 1024,
-    tb: int = 256,
+    tb: int | None = None,
 ) -> PreparedAdjacency:
-    """Choose and precompute the aggregation backend for a graph."""
+    """Choose and precompute the aggregation backend for a graph.
+
+    ``auto`` picks the backend (and BSR tile size) by a measured cost model
+    over the actual tile population of this graph — RCM-reorder the graph
+    first (graph/reorder.py) to unlock the block-sparse paths.
+    """
     n = max(A.n_rows, A.n_cols)
     if method == "auto":
-        itemsize = jnp.dtype(dense_dtype).itemsize
-        dense_bytes = n * n * itemsize
-        # count nonempty tiles (cheap O(nnz) host pass) — BSR wins when the
-        # graph has tile structure (RCM-reordered real graphs do)
-        r = np.asarray(A.rows[: A.nnz]) // tb
-        c = np.asarray(A.cols[: A.nnz]) // tb
-        n_tiles = len(np.unique(r.astype(np.int64) * (1 << 32) + c))
-        bsr_bytes = 2 * max(n_tiles, 1) * tb * tb * itemsize  # fwd + bwd
-        if bsr_bytes <= min(dense_bytes * 0.7, dense_max_bytes):
-            method = "bsr"
-        elif dense_bytes <= dense_max_bytes:
-            method = "dense"
-        else:
-            method = "pallas"
+        costs, best_tb = _estimate_backend_costs(A, dense_dtype)
+        if n * n * jnp.dtype(dense_dtype).itemsize > dense_max_bytes:
+            costs.pop("dense")
+        method = min(costs, key=costs.get)
+        if method == "bsr" and tb is None:
+            tb = best_tb
+    if tb is None:
+        tb = 256
 
     if method == "bsr":
         return PreparedAdjacency(

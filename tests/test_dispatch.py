@@ -103,3 +103,27 @@ def test_prepared_adjacency_under_jit(rng):
     H = jnp.asarray(rng.standard_normal((A.n_cols, 32)).astype(np.float32))
     out = np.asarray(jax.jit(agg_matmul)(prep, H))
     np.testing.assert_allclose(out, mat @ H, rtol=5e-2, atol=5e-2)
+
+
+def test_auto_cost_model_beyond_dense_budget(rng):
+    """Past the dense byte budget the cost model must pick a sparse
+    backend, and the BSR tile size comes from the tile-population scan."""
+    from sgracex1_tpu.ops.dispatch import _estimate_backend_costs
+
+    A, _ = _graph(rng, n=2048, density=0.002)
+    # force the dense budget below this graph's dense bytes (2048^2 * 2)
+    prep = prepare_adjacency(A, method="auto", dense_max_bytes=1 << 20)
+    assert prep.kind in ("bsr", "pallas")
+    costs, best_tb = _estimate_backend_costs(A, jnp.bfloat16)
+    assert set(costs) == {"dense", "bsr", "pallas"}
+    assert best_tb in (128, 256, 512)
+    assert all(v > 0 for v in costs.values())
+
+
+def test_bsr_tb_override(rng):
+    A, mat = _graph(rng)
+    prep = prepare_adjacency(A, method="bsr", tb=128)
+    assert prep.bsr.tb == 128
+    H = jnp.asarray(rng.standard_normal((A.n_cols, 32)).astype(np.float32))
+    out = np.asarray(agg_matmul(prep, H))
+    np.testing.assert_allclose(out, mat @ H, rtol=5e-2, atol=5e-2)
