@@ -127,9 +127,123 @@ def synthetic_molecules(
     return graphs
 
 
+@dataclasses.dataclass(frozen=True)
+class MultiLabelGraphData:
+    """One graph with multi-label node targets (PPI-style inductive task:
+    whole graphs are held out for val/test — BASELINE.json config 3)."""
+
+    edge_index: np.ndarray  # [2, E]
+    x: np.ndarray  # [N, F]
+    y: np.ndarray  # float32 [N, C] multi-hot
+
+    @property
+    def num_nodes(self) -> int:
+        return self.x.shape[0]
+
+    @property
+    def num_features(self) -> int:
+        return self.x.shape[1]
+
+    @property
+    def num_labels(self) -> int:
+        return self.y.shape[1]
+
+
+def synthetic_ppi(
+    num_graphs: int = 8,
+    n_per: int = 192,
+    num_features: int = 32,
+    num_labels: int = 12,
+    seed: int = 0,
+    splits: Tuple[int, int] = (2, 2),
+) -> Tuple[
+    List[MultiLabelGraphData],
+    List[MultiLabelGraphData],
+    List[MultiLabelGraphData],
+]:
+    """PPI-shaped synthetic multi-graph multi-label set.
+
+    Each graph draws nodes with overlapping community memberships; the
+    multi-hot label IS the membership vector, features are a noisy linear
+    image of it, and edges prefer nodes sharing communities — so labels are
+    recoverable from features + neighborhood, the structure GAT exploits.
+    Returns (train, val, test) graph lists; val/test graphs are disjoint
+    whole graphs (inductive, like PPI's 20/2/2 split).
+    """
+    rng = np.random.default_rng(seed)
+    centers = rng.standard_normal((num_labels, num_features)).astype(
+        np.float32
+    )
+    graphs = []
+    for _ in range(num_graphs):
+        m = (rng.random((n_per, num_labels)) < 0.25).astype(np.float32)
+        # guarantee every node at least one label
+        empty = m.sum(1) == 0
+        m[empty, rng.integers(0, num_labels, int(empty.sum()))] = 1.0
+        shared = m @ m.T
+        p = 0.02 + 0.05 * (shared > 0) + 0.02 * np.minimum(shared, 3)
+        upper = np.triu(rng.random((n_per, n_per)) < p, k=1)
+        adj = upper | upper.T
+        rows, cols = np.nonzero(adj)
+        x = (m @ centers + 0.5 * rng.standard_normal((n_per, num_features))
+             ).astype(np.float32)
+        graphs.append(
+            MultiLabelGraphData(
+                edge_index=np.stack([rows, cols]).astype(np.int64),
+                x=x,
+                y=m,
+            )
+        )
+    n_val, n_test = splits
+    n_train = num_graphs - n_val - n_test
+    return (
+        graphs[:n_train],
+        graphs[n_train : n_train + n_val],
+        graphs[n_train + n_val :],
+    )
+
+
 # --------------------------------------------------------------------------
 # real dataset parsers (gated on files)
 # --------------------------------------------------------------------------
+
+
+def load_ppi(root: str, split: str = "train") -> List[MultiLabelGraphData]:
+    """Parse the PPI raw format (what torch_geometric downloads):
+    ``{split}_graph.json`` (networkx node-link), ``{split}_feats.npy``
+    [N, 50], ``{split}_labels.npy`` [N, 121], ``{split}_graph_id.npy`` [N].
+    Returns one MultiLabelGraphData per connected protein graph."""
+    import json
+
+    with open(os.path.join(root, f"{split}_graph.json")) as f:
+        g = json.load(f)
+    feats = np.load(os.path.join(root, f"{split}_feats.npy"))
+    labels = np.load(os.path.join(root, f"{split}_labels.npy"))
+    gid = np.load(os.path.join(root, f"{split}_graph_id.npy"))
+
+    src = np.array([l["source"] for l in g["links"]], dtype=np.int64)
+    dst = np.array([l["target"] for l in g["links"]], dtype=np.int64)
+    # symmetrize (the raw file stores each undirected edge once)
+    und = np.unique(
+        np.concatenate(
+            [np.stack([src, dst]), np.stack([dst, src])], axis=1
+        ),
+        axis=1,
+    )
+
+    graphs = []
+    for gi in np.unique(gid):
+        nodes = np.nonzero(gid == gi)[0]
+        lo, hi = nodes[0], nodes[-1]
+        em = (und[0] >= lo) & (und[0] <= hi)
+        graphs.append(
+            MultiLabelGraphData(
+                edge_index=(und[:, em] - lo).astype(np.int64),
+                x=feats[nodes].astype(np.float32),
+                y=labels[nodes].astype(np.float32),
+            )
+        )
+    return graphs
 
 
 def load_planetoid(root: str, name: str) -> NodeClassificationData:

@@ -285,3 +285,132 @@ def train_graph_classifier(
         if log_every and (epoch + 1) % log_every == 0:
             print(f"epoch {epoch + 1:03d} train {tr:.4f} test {te:.4f}")
     return state, hist
+
+
+# ---------------------------------------------------------------------------
+# Multi-label inductive training (PPI-style — BASELINE.json config 3)
+# ---------------------------------------------------------------------------
+
+
+def micro_f1(pred: np.ndarray, target: np.ndarray) -> float:
+    """Micro-averaged F1 over all (node, label) decisions (the PPI metric)."""
+    pred = np.asarray(pred, bool)
+    target = np.asarray(target, bool)
+    tp = np.sum(pred & target)
+    fp = np.sum(pred & ~target)
+    fn = np.sum(~pred & target)
+    denom = 2 * tp + fp + fn
+    return float(2 * tp / denom) if denom else 0.0
+
+
+def _pad_multilabel_graph(g, n_pad: int, fill: float):
+    """(A, x, y, node_mask) padded to n_pad nodes; A gets self-loops with
+    ``fill`` so attention keeps the self edge (the GAT edge mask drops
+    zero-valued edges, matching the reference's adj_d > 0 mask)."""
+    from sgracex1_tpu.graph.normalize import sym_norm_edges
+
+    n = g.num_nodes
+    ei, ew = sym_norm_edges(g.edge_index, n, fill=fill)
+    A = SparseMatrix.from_coo(
+        ei[0], ei[1], ew, (n_pad, n_pad), pad_to=128, sort=False
+    )
+    x = np.zeros((n_pad, g.num_features), np.float32)
+    x[:n] = g.x
+    y = np.zeros((n_pad, g.num_labels), np.float32)
+    y[:n] = g.y
+    mask = np.zeros(n_pad, np.float32)
+    mask[:n] = 1.0
+    return A, x, y, mask
+
+
+def train_multilabel_inductive(
+    model,
+    train_graphs,
+    val_graphs,
+    test_graphs,
+    cfg: SGRACEConfig,
+    *,
+    fill: float = 1.0,
+    seed: int = 12345,
+    log_every: int = 0,
+) -> Tuple[TrainState, History]:
+    """Inductive multi-label node classification over whole held-out graphs
+    (the PPI protocol): sigmoid BCE loss, micro-F1 metric, best model by
+    val F1. All graphs are padded to one static (n_pad, e_pad) shape so a
+    single compiled program serves the whole dataset; History.*_acc carries
+    micro-F1.
+    """
+    all_graphs = list(train_graphs) + list(val_graphs) + list(test_graphs)
+    n_pad = max(g.num_nodes for g in all_graphs)
+    n_pad = ((n_pad + 127) // 128) * 128
+
+    # one shared e_pad across all splits -> one compiled program
+    tmp = [_pad_multilabel_graph(g, n_pad, fill) for g in all_graphs]
+    e_pad = max(it[0].e_pad for it in tmp)
+
+    def prep(graphs):
+        items = [_pad_multilabel_graph(g, n_pad, fill) for g in graphs]
+        return [
+            (
+                A.pad_edges_to(e_pad).with_uniform_nnz().device(),
+                jnp.asarray(x),
+                jnp.asarray(y),
+                jnp.asarray(m),
+            )
+            for A, x, y, m in items
+        ]
+
+    train_b, val_b, test_b = prep(train_graphs), prep(val_graphs), prep(test_graphs)
+
+    rng = jax.random.PRNGKey(seed)
+    rng, init_rng = jax.random.split(rng)
+    A0, x0, _, _ = train_b[0]
+    state = create_train_state(
+        model, init_rng, (A0, x0), cfg.resolved_learning_rate()
+    )
+
+    @jax.jit
+    def step(state, A, x, y, m, dropout_rng):
+        def loss_fn(params):
+            logits = state.apply_fn(
+                params, A, x, training=True, rngs={"dropout": dropout_rng}
+            )
+            ls = optax.sigmoid_binary_cross_entropy(logits, y)
+            return jnp.sum(ls * m[:, None]) / jnp.maximum(
+                jnp.sum(m) * y.shape[1], 1.0
+            )
+
+        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        return state.apply_gradients(grads=grads), loss
+
+    @jax.jit
+    def predict(state, A, x):
+        return state.apply_fn(state.params, A, x, training=False) > 0.0
+
+    def eval_f1(batches):
+        preds, targets = [], []
+        for A, x, y, m in batches:
+            p = np.asarray(predict(state, A, x))
+            keep = np.asarray(m) > 0
+            preds.append(p[keep])
+            targets.append(np.asarray(y)[keep])
+        return micro_f1(np.concatenate(preds), np.concatenate(targets))
+
+    hist = History()
+    for epoch in range(cfg.num_epochs):
+        for A, x, y, m in train_b:
+            rng, drng = jax.random.split(rng)
+            state, loss = step(state, A, x, y, m, drng)
+        tr, va, te = eval_f1(train_b), eval_f1(val_b), eval_f1(test_b)
+        hist.loss.append(float(loss))
+        hist.train_acc.append(tr)
+        hist.test_acc.append(te)
+        if va > hist.best_test_acc:  # model selection on val (PPI protocol)
+            hist.best_test_acc = va
+            hist.best_params = jax.device_get(state.params)
+        if log_every and (epoch + 1) % log_every == 0:
+            print(
+                f"epoch {epoch + 1:03d} loss {float(loss):.4f} "
+                f"train-F1 {tr:.4f} val-F1 {va:.4f} test-F1 {te:.4f}"
+            )
+    return state, hist
