@@ -1,0 +1,131 @@
+"""Distributed full GCN training step (fwd+bwd) scaling — BASELINE.json
+config 5 at reduced scale.
+
+An ogbn-products-shaped power-law graph is row-sharded over a 1D mesh with
+boundary-only halo exchange; the timed unit is one jitted Adam training
+step of a 2-layer GCN (forward, backward, update). Reports edges/s and
+scaling efficiency vs 1 device. On CI this runs on a virtual CPU mesh; on
+a TPU slice the identical code runs over ICI/DCN.
+
+Usage: python benchmarks/bench_dist_train.py [n] [avg_degree]
+"""
+
+import os
+import sys
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from benchmarks.common import timed_loop, header
+from sgracex1_tpu.graph.datasets import powerlaw_node_classification
+from sgracex1_tpu.graph.normalize import sym_norm
+from sgracex1_tpu.graph.reorder import (
+    degree_balanced_order,
+    permute_graph,
+    shard_edge_counts,
+)
+from sgracex1_tpu.parallel.halo import build_halo, dist_gnn_layer_halo
+from sgracex1_tpu.parallel.mesh import make_mesh
+from sgracex1_tpu.parallel.partition import pad_nodes
+
+
+def bench(n_devices, data, A, base_eps=None, *, balance=True):
+    if balance and n_devices > 1:
+        perm = degree_balanced_order(A, n_devices)
+        A_s, _ = permute_graph(A, perm)
+        x_np, y_np = data.x[perm], data.y[perm]
+        m_np = data.train_mask[perm]
+    else:
+        A_s, x_np, y_np, m_np = A, data.x, data.y, data.train_mask
+
+    mesh = make_mesh(n_devices)
+    G, n_pad = build_halo(A_s, n_devices)
+    sh = NamedSharding(mesh, P("graph"))
+    x = jax.device_put(pad_nodes(x_np, n_pad), sh)
+    y = jax.device_put(pad_nodes(y_np.astype(np.int32), n_pad), sh)
+    m = jax.device_put(pad_nodes(m_np.astype(np.float32), n_pad), sh)
+    G = jax.device_put(G, sh)
+
+    f, h, c = data.num_features, 64, data.num_classes
+    rng = np.random.default_rng(0)
+    params = {
+        "W1": jnp.asarray(rng.standard_normal((f, h)).astype(np.float32) * 0.1),
+        "W2": jnp.asarray(rng.standard_normal((h, h)).astype(np.float32) * 0.1),
+        "Wo": jnp.asarray(rng.standard_normal((h, c)).astype(np.float32) * 0.1),
+    }
+    opt = optax.adam(0.01)
+    opt_state = opt.init(params)
+
+    def train_step(carry, G, x, y, m):
+        params, opt_state = carry
+
+        def loss_fn(p):
+            hdn = dist_gnn_layer_halo(mesh, G, x, p["W1"], relu=True)
+            hdn = dist_gnn_layer_halo(mesh, G, hdn, p["W2"], relu=True)
+            logits = hdn @ p["Wo"]
+            ls = optax.softmax_cross_entropy_with_integer_labels(logits, y)
+            return jnp.sum(ls * m) / jnp.sum(m)
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = opt.update(grads, opt_state)
+        return (optax.apply_updates(params, updates), opt_state)
+
+    sec = timed_loop(
+        train_step, (params, opt_state), consts=(G, x, y, m), iters=30
+    )
+    # fwd (2 layers) + bwd (2 transposed layers) touch each edge 4x/step,
+    # but report plain adjacency edges/s for comparability with bench_spmm
+    eps = A.nnz / sec
+    tag = "bal" if (balance and n_devices > 1) else "raw"
+    eff = (
+        ""
+        if base_eps is None
+        else f"  eff {eps / (base_eps * n_devices) * 100:5.1f}%"
+    )
+    print(
+        f"  {n_devices} dev [{tag}]: {sec * 1e3:8.2f} ms/step  "
+        f"{eps / 1e6:7.1f} M edges/s{eff}"
+    )
+    return eps
+
+
+def main():
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 65536
+    d = int(sys.argv[2]) if len(sys.argv) > 2 else 16
+    data = powerlaw_node_classification(n=n, avg_degree=d)
+    A = sym_norm(data.edge_index, data.num_nodes)
+    counts = shard_edge_counts(A, 8)
+    header(
+        f"distributed GCN train step (N={n}, E={A.nnz}, "
+        f"raw 8-shard imbalance {counts.max() / counts.mean():.2f}x)"
+    )
+    if jax.devices()[0].platform == "cpu":
+        print(
+            "  NOTE: virtual CPU mesh — all devices share one physical CPU,"
+            " so 'eff' measures sharding OVERHEAD only; real scaling"
+            " efficiency requires a physical multi-chip slice."
+        )
+    base = bench(1, data, A)
+    for ndev in (2, 4, 8):
+        if ndev <= jax.device_count():
+            bench(ndev, data, A, base, balance=False)
+            bench(ndev, data, A, base, balance=True)
+
+
+if __name__ == "__main__":
+    main()

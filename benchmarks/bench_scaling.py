@@ -74,6 +74,12 @@ def main():
     W = rng.standard_normal((F, H)).astype(np.float32) * 0.1
 
     header(f"distributed GNN layer scaling (N={n}, E~{e}, F={F})")
+    if jax.devices()[0].platform == "cpu":
+        print(
+            "  NOTE: virtual CPU mesh — all devices share one physical CPU,"
+            " so 'eff' measures sharding OVERHEAD only; real scaling"
+            " efficiency requires a physical multi-chip slice."
+        )
     base = bench(1, (edge_index, n, F, W))
     for d in (2, 4, 8):
         if d <= jax.device_count():

@@ -12,8 +12,11 @@ import numpy as np
 
 def sync(x) -> float:
     """Force device completion by pulling a scalar (block_until_ready does
-    not fully sync through the TPU relay — see utils/profiling.py)."""
-    return float(jnp.sum(x))
+    not fully sync through the TPU relay — see utils/profiling.py).
+    Accepts any pytree (e.g. a (params, opt_state) carry)."""
+    leaves = jax.tree_util.tree_leaves(x)
+    total = sum(jnp.sum(l.astype(jnp.float32)) for l in leaves)
+    return float(total)
 
 
 def timed_loop(

@@ -331,3 +331,128 @@ def load_tu_dataset(root: str, name: str = "MUTAG") -> List[GraphSample]:
         x = np.eye(num_types, dtype=np.float32)[nlabels[nodes]]
         graphs.append(GraphSample(edge_index=ei, x=x, y=int(glabels[g])))
     return graphs
+
+
+def powerlaw_node_classification(
+    n: int = 65536,
+    avg_degree: int = 16,
+    num_classes: int = 16,
+    num_features: int = 100,
+    alpha: float = 1.6,
+    seed: int = 0,
+) -> NodeClassificationData:
+    """ogbn-products-shaped synthetic graph: Chung-Lu edges with power-law
+    expected degrees (exponent ``alpha``), community labels, and
+    class-correlated features. The degree skew is the load-balancing
+    stressor for edge-partitioned distribution (SURVEY §7 hard part 4);
+    ogbn-products itself (N=2.4M, E=124M) loads via load_ogb_node."""
+    rng = np.random.default_rng(seed)
+    # power-law weights, heaviest nodes first
+    w = (np.arange(1, n + 1) ** (-1.0 / (alpha - 1.0))).astype(np.float64)
+    w *= n * avg_degree / w.sum()
+    y = rng.integers(0, num_classes, n)
+
+    # Chung-Lu sampling: draw E candidate endpoints proportional to w
+    e_target = n * avg_degree // 2
+    p = w / w.sum()
+    src = rng.choice(n, size=e_target, p=p)
+    dst = rng.choice(n, size=e_target, p=p)
+    # homophily: rewire half the conflicts to a same-class node
+    same = rng.random(e_target) < 0.5
+    cls_nodes = [np.nonzero(y == c)[0] for c in range(num_classes)]
+    rewire = same & (y[src] != y[dst])
+    if rewire.any():
+        dst = dst.copy()
+        dst[rewire] = np.concatenate(
+            [
+                rng.choice(cls_nodes[c], size=int(cnt))
+                for c, cnt in zip(*np.unique(y[src[rewire]],
+                                             return_counts=True))
+            ]
+        )
+    keep = src != dst
+    src, dst = src[keep], dst[keep]
+    und = np.unique(
+        np.concatenate(
+            [np.stack([src, dst]), np.stack([dst, src])], axis=1
+        ),
+        axis=1,
+    )
+
+    centers = rng.standard_normal((num_classes, num_features)).astype(
+        np.float32
+    )
+    x = (centers[y] + rng.standard_normal((n, num_features))).astype(
+        np.float32
+    )
+    perm = rng.permutation(n)
+    masks = np.zeros((3, n), bool)
+    masks[0, perm[: int(n * 0.6)]] = True
+    masks[1, perm[int(n * 0.6) : int(n * 0.8)]] = True
+    masks[2, perm[int(n * 0.8) :]] = True
+    return NodeClassificationData(und, x, y.astype(np.int64), *masks)
+
+
+def load_ogb_node(root: str) -> NodeClassificationData:
+    """Load an OGB node-property dataset (e.g. ogbn-products) from disk.
+
+    Fast path: ``{root}/processed.npz`` with edge_index/x/y/train_idx/
+    valid_idx/test_idx (write it once with ``convert_ogb_raw``). Otherwise
+    parses OGB's raw layout: ``raw/edge.csv.gz`` (src,dst rows),
+    ``raw/node-feat.csv.gz``, ``raw/node-label.csv.gz`` and the first
+    ``split/*/{train,valid,test}.csv.gz`` found."""
+    proc = os.path.join(root, "processed.npz")
+    if os.path.exists(proc):
+        z = np.load(proc)
+        n = z["x"].shape[0]
+        masks = []
+        for k in ("train_idx", "valid_idx", "test_idx"):
+            m = np.zeros(n, bool)
+            m[z[k]] = True
+            masks.append(m)
+        return NodeClassificationData(
+            z["edge_index"], z["x"].astype(np.float32),
+            z["y"].reshape(-1).astype(np.int64), *masks
+        )
+    return convert_ogb_raw(root)
+
+
+def convert_ogb_raw(root: str, save: bool = True) -> NodeClassificationData:
+    """Parse OGB raw csv.gz files; optionally cache as processed.npz."""
+    import glob
+    import gzip
+
+    def read_csv_gz(path, dtype):
+        with gzip.open(path, "rt") as f:
+            return np.loadtxt(f, delimiter=",", dtype=dtype, ndmin=2)
+
+    raw = os.path.join(root, "raw")
+    edges = read_csv_gz(os.path.join(raw, "edge.csv.gz"), np.int64)
+    x = read_csv_gz(os.path.join(raw, "node-feat.csv.gz"), np.float32)
+    y = read_csv_gz(os.path.join(raw, "node-label.csv.gz"), np.int64)
+    y = y.reshape(-1)
+    ei = np.concatenate([edges.T, edges.T[::-1]], axis=1)  # symmetrize
+
+    split_dirs = sorted(glob.glob(os.path.join(root, "split", "*")))
+    if not split_dirs:
+        raise FileNotFoundError(f"no split directory under {root}/split")
+    idxs = {
+        k: read_csv_gz(
+            os.path.join(split_dirs[0], f"{k}.csv.gz"), np.int64
+        ).reshape(-1)
+        for k in ("train", "valid", "test")
+    }
+    if save:
+        np.savez_compressed(
+            os.path.join(root, "processed.npz"),
+            edge_index=ei, x=x, y=y,
+            train_idx=idxs["train"], valid_idx=idxs["valid"],
+            test_idx=idxs["test"],
+        )
+    n = x.shape[0]
+    masks = []
+    for k in ("train", "valid", "test"):
+        m = np.zeros(n, bool)
+        m[idxs[k]] = True
+        masks.append(m)
+    return NodeClassificationData(ei, x, y, *masks)
