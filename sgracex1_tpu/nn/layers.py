@@ -30,6 +30,7 @@ from flax import linen as nn
 from sgracex1_tpu.graph.csr import SparseMatrix
 from sgracex1_tpu.ops.spmm import spmm
 from sgracex1_tpu.ops.sddmm import sddmm, leaky_relu, edge_softmax
+from sgracex1_tpu.ops.flash_gat import gat_attention_agg
 from sgracex1_tpu.ops.fused_gnn import relu_hw, gnn_layer_quant_backward
 from sgracex1_tpu.ops.dispatch import (
     PreparedAdjacency,
@@ -228,10 +229,29 @@ class GATConv(nn.Module, _AmaxMixin):
             if self.exact_gradients
             else jax.lax.stop_gradient(Wh_heads)
         )
+        # fused flash-attention kernel over BSR tiles when the adjacency was
+        # prepared with the bsr backend (gather-free; E/S read-back needs
+        # the per-edge path)
+        use_flash = (
+            isinstance(A, PreparedAdjacency)
+            and A.bsr is not None
+            and not return_attention
+        )
         outs, e_heads, s_heads = [], [], []
         for h in range(H):
+            s1 = jnp.dot(Wh_sg[:, h, :], a_src[h],
+                         preferred_element_type=jnp.float32)
+            s2 = jnp.dot(Wh_sg[:, h, :], a_dst[h],
+                         preferred_element_type=jnp.float32)
+            if use_flash:
+                outs.append(
+                    gat_attention_agg(
+                        A.A, A.bsr, s1, s2, Wh_heads[:, h, :], self.alpha
+                    )
+                )
+                continue
             e = leaky_relu(
-                sddmm(A_e, Wh_sg[:, h, :], a_src[h], a_dst[h]), self.alpha
+                jnp.take(s1, A_e.rows) + jnp.take(s2, A_e.cols), self.alpha
             )
             s = edge_softmax(A_e, e)
             e_heads.append(e)
