@@ -84,6 +84,17 @@ def bsr_from_sparse(
     )
 
 
+def bsr_mask_from_sparse(A: SparseMatrix, *, tb: int = 256) -> BSRMatrix:
+    """BSR of the edge MASK (int8 {0,1} tiles): all the flash-GAT kernel
+    reads from the adjacency is ``tile > 0``, so int8 tiles carry the same
+    information at 1/4 the HBM traffic of f32. Measured pubmed flash:
+    1.17 -> 1.08 ms at tb=512 (the kernel is VPU-bound on the tile
+    elementwise ops, so the saving is mostly memory, not time; tb=1024
+    int8 reaches 0.84 ms)."""
+    B = bsr_from_sparse(A, tb=tb, dtype=jnp.float32)
+    return dataclasses.replace(B, tiles=(B.tiles > 0).astype(jnp.int8))
+
+
 def bsr_spmm_xla(B: BSRMatrix, H: jax.Array) -> jax.Array:
     """out = A @ H via batched tile matmuls + tile-row segment sum (XLA)."""
     tb = B.tb

@@ -60,7 +60,9 @@ def _flash_gat_kernel(
         l_ref[:] = jnp.zeros_like(l_ref)
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    mask = a_ref[0] > 0  # [tb, tb]
+    # cast before comparing: Mosaic/v5e has no int8 vector compare, and the
+    # cast is free relative to the 4x HBM saving of int8 mask tiles
+    mask = a_ref[0].astype(jnp.float32) > 0  # [tb, tb]
     e = s1_ref[:] + s2_ref[:].reshape(1, -1)  # [tb, 1] + [1, tb]
     e = jnp.where(e > 0, e, alpha * e)
     e = jnp.where(mask, e, _NEG_INF)

@@ -107,3 +107,18 @@ def test_gatconv_flash_backend_matches_edge_backend(rng):
     np.testing.assert_allclose(
         np.asarray(out), np.asarray(ref), rtol=2e-2, atol=2e-2
     )
+
+
+def test_flash_int8_mask_tiles(rng):
+    """int8 {0,1} mask tiles (1/4 the HBM traffic) give the same output."""
+    from sgracex1_tpu.ops.bsr import bsr_mask_from_sparse
+
+    A, B = _graph(rng, n=300)
+    B8 = bsr_mask_from_sparse(A, tb=128)
+    assert B8.tiles.dtype == jnp.int8
+    s1 = jnp.asarray(rng.standard_normal(A.n_rows).astype(np.float32))
+    s2 = jnp.asarray(rng.standard_normal(A.n_cols).astype(np.float32))
+    Wh = jnp.asarray(rng.standard_normal((A.n_cols, 16)).astype(np.float32))
+    out8 = np.asarray(flash_gat_forward(B8, s1, s2, Wh))
+    ref = np.asarray(gat_attention_agg_ref(A, s1, s2, Wh))
+    np.testing.assert_allclose(out8, ref, rtol=2e-2, atol=2e-2)
