@@ -456,3 +456,44 @@ def convert_ogb_raw(root: str, save: bool = True) -> NodeClassificationData:
         m[idxs[k]] = True
         masks.append(m)
     return NodeClassificationData(ei, x, y, *masks)
+
+
+def load_amazon(
+    path: str,
+    *,
+    train_frac: float = 0.6,
+    val_frac: float = 0.2,
+    seed: int = 0,
+) -> NodeClassificationData:
+    """Parse the Amazon Photo/Computers raw npz (what torch_geometric
+    downloads: ``amazon_electronics_photo.npz`` — CSR adjacency + CSR
+    bag-of-words attributes + labels; Shchur et al. format). The reference
+    trains these with random splits (demo_sgrace.py:57-125), reproduced
+    here with a seeded permutation."""
+    import scipy.sparse as sp
+
+    z = np.load(path, allow_pickle=True)
+    adj = sp.csr_matrix(
+        (z["adj_data"], z["adj_indices"], z["adj_indptr"]),
+        shape=tuple(z["adj_shape"]),
+    )
+    attr = sp.csr_matrix(
+        (z["attr_data"], z["attr_indices"], z["attr_indptr"]),
+        shape=tuple(z["attr_shape"]),
+    )
+    y = z["labels"].astype(np.int64)
+    coo = adj.tocoo()
+    ei = np.stack([coo.row, coo.col]).astype(np.int64)
+    und = np.unique(np.concatenate([ei, ei[::-1]], axis=1), axis=1)
+
+    n = attr.shape[0]
+    rng = np.random.default_rng(seed)
+    perm = rng.permutation(n)
+    n_tr, n_va = int(n * train_frac), int(n * val_frac)
+    masks = np.zeros((3, n), bool)
+    masks[0, perm[:n_tr]] = True
+    masks[1, perm[n_tr : n_tr + n_va]] = True
+    masks[2, perm[n_tr + n_va :]] = True
+    return NodeClassificationData(
+        und, np.asarray(attr.todense(), dtype=np.float32), y, *masks
+    )

@@ -135,3 +135,29 @@ def test_ogb_raw_roundtrip(tmp_path):
     np.testing.assert_array_equal(d1.y, [0, 1, 1, 0])
     assert d2.edge_index.shape[1] == 8  # symmetrized
     assert d2.train_mask.sum() == 2 and d2.test_mask[3]
+
+
+def test_load_amazon_npz(tmp_path):
+    """Fabricate the Shchur-format Amazon npz and parse it."""
+    import scipy.sparse as sp
+
+    from sgracex1_tpu.graph.datasets import load_amazon
+
+    rng = np.random.default_rng(0)
+    adj = sp.random(10, 10, density=0.3, format="csr", random_state=1)
+    attr = sp.random(10, 7, density=0.5, format="csr", random_state=2)
+    y = rng.integers(0, 3, 10)
+    np.savez(
+        tmp_path / "amazon_electronics_photo.npz",
+        adj_data=adj.data, adj_indices=adj.indices,
+        adj_indptr=adj.indptr, adj_shape=np.array(adj.shape),
+        attr_data=attr.data, attr_indices=attr.indices,
+        attr_indptr=attr.indptr, attr_shape=np.array(attr.shape),
+        labels=y,
+    )
+    d = load_amazon(str(tmp_path / "amazon_electronics_photo.npz"))
+    assert d.x.shape == (10, 7)
+    np.testing.assert_array_equal(d.y, y)
+    es = set(map(tuple, d.edge_index.T))
+    assert all((b, a) in es for a, b in es)  # symmetrized
+    assert (d.train_mask | d.val_mask | d.test_mask).all()
