@@ -30,7 +30,7 @@ from flax import linen as nn
 from sgracex1_tpu.graph.csr import SparseMatrix
 from sgracex1_tpu.ops.spmm import spmm
 from sgracex1_tpu.ops.sddmm import sddmm, leaky_relu, edge_softmax
-from sgracex1_tpu.ops.flash_gat import gat_attention_agg
+from sgracex1_tpu.ops.flash_gat import gat_attention_agg_fused
 from sgracex1_tpu.ops.fused_gnn import relu_hw, gnn_layer_quant_backward
 from sgracex1_tpu.ops.dispatch import (
     PreparedAdjacency,
@@ -244,9 +244,11 @@ class GATConv(nn.Module, _AmaxMixin):
             s2 = jnp.dot(Wh_sg[:, h, :], a_dst[h],
                          preferred_element_type=jnp.float32)
             if use_flash:
+                # fully fused fwd+bwd: both directions stream BSR tiles
+                # through the MXU; no per-edge gather in the training step
                 outs.append(
-                    gat_attention_agg(
-                        A.A, A.bsr, s1, s2, Wh_heads[:, h, :], self.alpha
+                    gat_attention_agg_fused(
+                        A.bsr, s1, s2, Wh_heads[:, h, :], self.alpha
                     )
                 )
                 continue

@@ -18,9 +18,20 @@ i.e. the *graph* version of flash attention: the adjacency's BSR tiles are
 the attention mask, so compute is O(nonempty tiles), not O(N^2), and the
 row softmax never materializes per-edge score vectors.
 
-Backward (custom VJP) uses the reference's own softmax-Jacobian identity
-``soft_grad = att*q - att*sum(att*q)`` (sgrace.py:979-981) on the edge
-list — correctness-first; the forward is the serving-critical path.
+Backward comes in two flavors:
+
+- ``gat_attention_agg`` (edge backward): the reference's softmax-Jacobian
+  identity ``soft_grad = att*q - att*sum(att*q)`` (sgrace.py:979-981)
+  evaluated on the edge list — correctness-first fallback.
+- ``gat_attention_agg_fused`` (flash backward): the same math evaluated
+  tile-wise with NO per-edge gathers. The forward saves the per-row
+  softmax stats (running max ``m`` and denominator ``l``), so each tile's
+  probabilities ``p = exp(e - m)/l`` are recomputable locally. Using
+  ``dE = p*(q - t)*lrelu'`` with ``q = gO @ Wh^T`` (tile MXU matmul) and
+  ``t[r] = sum_c p*q``, the row-reductions ``t``, ``u1 = sum p*q*lrelu'``,
+  ``u2 = sum p*lrelu'`` stream over row-sorted tiles (pass 1, giving
+  ``ds1 = u1 - t*u2``), while the column-reductions ``dWh = p^T @ gO`` and
+  ``ds2 = colsum(dE)`` stream over column-sorted tiles (pass 2).
 """
 
 from __future__ import annotations
@@ -45,7 +56,7 @@ def _round_up(x: int, m: int) -> int:
 
 def _flash_gat_kernel(
     tile_rb, tile_cb, a_ref, s1_ref, s2_ref, wh_ref, out_ref,
-    m_ref, l_ref, acc_ref, *, alpha: float,
+    m_ref, l_ref, acc_ref, *, alpha: float, m_out=None, l_out=None,
 ):
     g = pl.program_id(0)
     ng = pl.num_programs(0)
@@ -82,6 +93,19 @@ def _flash_gat_kernel(
     @pl.when(last)
     def _():
         out_ref[:] = acc_ref[:] / jnp.maximum(l_ref[:], 1e-30)
+        if m_out is not None:
+            m_out[:] = m_ref[:]
+            l_out[:] = l_ref[:]
+
+
+def _flash_gat_kernel_stats(
+    tile_rb, tile_cb, a_ref, s1_ref, s2_ref, wh_ref,
+    out_ref, m_out, l_out, m_ref, l_ref, acc_ref, *, alpha: float,
+):
+    _flash_gat_kernel(
+        tile_rb, tile_cb, a_ref, s1_ref, s2_ref, wh_ref, out_ref,
+        m_ref, l_ref, acc_ref, alpha=alpha, m_out=m_out, l_out=l_out,
+    )
 
 
 def flash_gat_forward(
@@ -92,11 +116,16 @@ def flash_gat_forward(
     *,
     alpha: float = 0.2,
     interpret: bool | None = None,
-) -> jax.Array:
+    return_stats: bool = False,
+):
     """out[r] = sum_c softmax_c(LeakyReLU(s1[r]+s2[c]) | A[r,c]>0) * Wh[c].
 
     B holds the adjacency values (mask via > 0); s1/s2 are the per-node
     attention halves (Wh @ a_src / Wh @ a_dst); Wh: [N, F].
+
+    With ``return_stats`` also returns the per-row softmax stats
+    ``(m, l)`` (running max / denominator, shape [n_rt*tb, 1]) that the
+    fused backward needs to recompute tile probabilities locally.
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -113,6 +142,8 @@ def flash_gat_forward(
     if s2.shape[0] != n_ct * tb:
         s2 = jnp.pad(s2, ((0, n_ct * tb - s2.shape[0]), (0, 0)))
 
+    out_spec = pl.BlockSpec((tb, F), lambda g, rbs, cbs: (rbs[g], 0))
+    stat_spec = pl.BlockSpec((tb, 1), lambda g, rbs, cbs: (rbs[g], 0))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(B.num_tiles,),
@@ -122,17 +153,24 @@ def flash_gat_forward(
             pl.BlockSpec((tb, 1), lambda g, rbs, cbs: (cbs[g], 0)),
             pl.BlockSpec((tb, F), lambda g, rbs, cbs: (cbs[g], 0)),
         ],
-        out_specs=pl.BlockSpec((tb, F), lambda g, rbs, cbs: (rbs[g], 0)),
+        out_specs=[out_spec, stat_spec, stat_spec] if return_stats else out_spec,
         scratch_shapes=[
             pltpu.VMEM((tb, 1), jnp.float32),
             pltpu.VMEM((tb, 1), jnp.float32),
             pltpu.VMEM((tb, F), jnp.float32),
         ],
     )
-    out = pl.pallas_call(
-        partial(_flash_gat_kernel, alpha=alpha),
+    out_shape = jax.ShapeDtypeStruct((n_rt * tb, F), jnp.float32)
+    stat_shape = jax.ShapeDtypeStruct((n_rt * tb, 1), jnp.float32)
+    res = pl.pallas_call(
+        partial(
+            _flash_gat_kernel_stats if return_stats else _flash_gat_kernel,
+            alpha=alpha,
+        ),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((n_rt * tb, F), jnp.float32),
+        out_shape=[out_shape, stat_shape, stat_shape]
+        if return_stats
+        else out_shape,
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=2 * B.num_tiles * tb * tb * (F + 4),
@@ -140,7 +178,10 @@ def flash_gat_forward(
             transcendentals=B.num_tiles * tb * tb,
         ),
     )(B.tile_rb, B.tile_cb, B.tiles, s1, s2, Wh)
-    return out[: B.n_rows]
+    if return_stats:
+        out, m, l = res
+        return out[: B.n_rows], m, l
+    return res[: B.n_rows]
 
 
 # ---------------------------------------------------------------------------
@@ -202,6 +243,225 @@ def _gat_agg_bwd(A, B, alpha, res, g_out):
 
 
 gat_attention_agg.defvjp(_gat_agg_fwd, _gat_agg_bwd)
+
+
+# ---------------------------------------------------------------------------
+# fully fused backward: tile kernels, no per-edge gathers
+# ---------------------------------------------------------------------------
+
+
+def _tile_probs(a_ref, s1_ref, s2_ref, m_ref, l_ref, alpha):
+    """Recompute one tile's softmax probabilities from saved (m, l) stats.
+
+    Returns (p, e_pre_pos, mask): probabilities, LeakyReLU' selector, mask.
+    """
+    mask = a_ref[0].astype(jnp.float32) > 0
+    e_pre = s1_ref[:] + s2_ref[:].reshape(1, -1)
+    e = jnp.where(e_pre > 0, e_pre, alpha * e_pre)
+    p = jnp.where(mask, jnp.exp(e - m_ref[:]), 0.0) / jnp.maximum(
+        l_ref[:], 1e-30
+    )
+    lr = jnp.where(e_pre > 0, 1.0, alpha)
+    return p, lr, mask
+
+
+def _flash_bwd_row_kernel(
+    tile_rb, tile_cb, a_ref, s1_ref, s2_ref, m_ref, l_ref, wh_ref, go_ref,
+    t_ref, u1_ref, u2_ref, *, alpha: float,
+):
+    """Pass 1 (row-sorted tiles): row reductions of the softmax Jacobian.
+
+    t[r]  = sum_c p*q        (q = gO @ Wh^T, the cotangent SDDMM)
+    u1[r] = sum_c p*q*lrelu'
+    u2[r] = sum_c p*lrelu'    =>  ds1 = u1 - t*u2  (host-side elementwise)
+    """
+    g = pl.program_id(0)
+    first = jnp.logical_or(g == 0, tile_rb[g] != tile_rb[jnp.maximum(g - 1, 0)])
+
+    @pl.when(first)
+    def _():
+        t_ref[:] = jnp.zeros_like(t_ref)
+        u1_ref[:] = jnp.zeros_like(u1_ref)
+        u2_ref[:] = jnp.zeros_like(u2_ref)
+
+    p, lr, _ = _tile_probs(a_ref, s1_ref, s2_ref, m_ref, l_ref, alpha)
+    q = jax.lax.dot_general(
+        go_ref[:].astype(jnp.bfloat16),
+        wh_ref[:].astype(jnp.bfloat16),
+        (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [tb, tb]
+    pq = p * q
+    t_ref[:] += jnp.sum(pq, axis=1, keepdims=True)
+    u1_ref[:] += jnp.sum(pq * lr, axis=1, keepdims=True)
+    u2_ref[:] += jnp.sum(p * lr, axis=1, keepdims=True)
+
+
+def _flash_bwd_col_kernel(
+    perm, rbs_c, cbs_c, a_ref, s1_ref, s2_ref, m_ref, l_ref, t_ref,
+    wh_ref, go_ref, dwh_ref, ds2_ref, *, alpha: float,
+):
+    """Pass 2 (column-sorted tiles): column reductions.
+
+    dWh[c] = sum_r p[r,c] * gO[r]          (p^T @ gO, MXU)
+    ds2[c] = sum_r dE[r,c],  dE = p*(q - t)*lrelu'
+    """
+    g = pl.program_id(0)
+    first = jnp.logical_or(g == 0, cbs_c[g] != cbs_c[jnp.maximum(g - 1, 0)])
+
+    @pl.when(first)
+    def _():
+        dwh_ref[:] = jnp.zeros_like(dwh_ref)
+        ds2_ref[:] = jnp.zeros_like(ds2_ref)
+
+    p, lr, _ = _tile_probs(a_ref, s1_ref, s2_ref, m_ref, l_ref, alpha)
+    q = jax.lax.dot_general(
+        go_ref[:].astype(jnp.bfloat16),
+        wh_ref[:].astype(jnp.bfloat16),
+        (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dE = p * (q - t_ref[:]) * lr  # [tb(r), tb(c)]
+    dwh_ref[:] += jax.lax.dot_general(
+        p.astype(jnp.bfloat16),
+        go_ref[:].astype(jnp.bfloat16),
+        (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [tb(c), F]
+    ones = jnp.ones((dE.shape[0], 1), jnp.float32)
+    ds2_ref[:] += jax.lax.dot_general(
+        dE, ones, (((0,), (0,)), ((), ()))
+    )  # colsum as a matvec -> [tb(c), 1]
+
+
+def flash_gat_backward(
+    B: BSRMatrix,
+    s1: jax.Array,
+    s2: jax.Array,
+    Wh: jax.Array,
+    g_out: jax.Array,
+    m: jax.Array,
+    l: jax.Array,
+    *,
+    alpha: float = 0.2,
+    interpret: bool | None = None,
+):
+    """(ds1, ds2, dWh) of the flash GAT aggregation — tile kernels only.
+
+    Same Jacobian identity as the reference (sgrace.py:979-981,1011),
+    reorganized into row- and column-streaming tile reductions so no
+    E-sized gather ever materializes.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    tb = B.tb
+    n_rt = B.n_row_tiles
+    n_ct = _round_up(B.n_cols, tb) // tb
+    F = Wh.shape[1]
+    n1, n2, nw = s1.shape[0], s2.shape[0], Wh.shape[0]
+    if Wh.shape[0] != n_ct * tb:
+        Wh = jnp.pad(Wh, ((0, n_ct * tb - Wh.shape[0]), (0, 0)))
+    s1 = s1.reshape(-1, 1)
+    s2 = s2.reshape(-1, 1)
+    if s1.shape[0] != n_rt * tb:
+        s1 = jnp.pad(s1, ((0, n_rt * tb - s1.shape[0]), (0, 0)))
+    if s2.shape[0] != n_ct * tb:
+        s2 = jnp.pad(s2, ((0, n_ct * tb - s2.shape[0]), (0, 0)))
+    if g_out.shape[0] != n_rt * tb:
+        g_out = jnp.pad(g_out, ((0, n_rt * tb - g_out.shape[0]), (0, 0)))
+
+    stat = pl.BlockSpec((tb, 1), lambda g, rbs, cbs: (rbs[g], 0))
+    row_grid = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(B.num_tiles,),
+        in_specs=[
+            pl.BlockSpec((1, tb, tb), lambda g, rbs, cbs: (g, 0, 0)),
+            pl.BlockSpec((tb, 1), lambda g, rbs, cbs: (rbs[g], 0)),
+            pl.BlockSpec((tb, 1), lambda g, rbs, cbs: (cbs[g], 0)),
+            stat,
+            stat,
+            pl.BlockSpec((tb, F), lambda g, rbs, cbs: (cbs[g], 0)),
+            pl.BlockSpec((tb, F), lambda g, rbs, cbs: (rbs[g], 0)),
+        ],
+        out_specs=[stat, stat, stat],
+    )
+    stat_shape = jax.ShapeDtypeStruct((n_rt * tb, 1), jnp.float32)
+    t, u1, u2 = pl.pallas_call(
+        partial(_flash_bwd_row_kernel, alpha=alpha),
+        grid_spec=row_grid,
+        out_shape=[stat_shape, stat_shape, stat_shape],
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B.num_tiles * tb * tb * (F + 4),
+            bytes_accessed=B.num_tiles * (tb * tb + 2 * tb * F * 4),
+            transcendentals=B.num_tiles * tb * tb,
+        ),
+    )(B.tile_rb, B.tile_cb, B.tiles, s1, s2, m, l, Wh, g_out)
+    ds1 = u1 - t * u2
+
+    perm = jnp.argsort(B.tile_cb)
+    rbs_c = jnp.take(B.tile_rb, perm)
+    cbs_c = jnp.take(B.tile_cb, perm)
+
+    rstat = pl.BlockSpec((tb, 1), lambda g, perm, rbs, cbs: (rbs[g], 0))
+    col_grid = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(B.num_tiles,),
+        in_specs=[
+            pl.BlockSpec((1, tb, tb), lambda g, perm, rbs, cbs: (perm[g], 0, 0)),
+            rstat,
+            pl.BlockSpec((tb, 1), lambda g, perm, rbs, cbs: (cbs[g], 0)),
+            rstat,
+            rstat,
+            rstat,
+            pl.BlockSpec((tb, F), lambda g, perm, rbs, cbs: (cbs[g], 0)),
+            pl.BlockSpec((tb, F), lambda g, perm, rbs, cbs: (rbs[g], 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((tb, F), lambda g, perm, rbs, cbs: (cbs[g], 0)),
+            pl.BlockSpec((tb, 1), lambda g, perm, rbs, cbs: (cbs[g], 0)),
+        ],
+    )
+    dWh, ds2 = pl.pallas_call(
+        partial(_flash_bwd_col_kernel, alpha=alpha),
+        grid_spec=col_grid,
+        out_shape=[
+            jax.ShapeDtypeStruct((n_ct * tb, F), jnp.float32),
+            jax.ShapeDtypeStruct((n_ct * tb, 1), jnp.float32),
+        ],
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=4 * B.num_tiles * tb * tb * (F + 2),
+            bytes_accessed=B.num_tiles * (tb * tb + 3 * tb * F * 4),
+            transcendentals=B.num_tiles * tb * tb,
+        ),
+    )(perm, rbs_c, cbs_c, B.tiles, s1, s2, m, l, t, Wh, g_out)
+    return ds1.reshape(-1)[:n1], ds2.reshape(-1)[:n2], dWh[:nw]
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0, 4))
+def gat_attention_agg_fused(B, s1, s2, Wh, alpha=0.2):
+    """Differentiable fused GAT aggregation, flash forward AND backward.
+
+    Unlike ``gat_attention_agg`` this never touches the edge list: both
+    directions stream BSR tiles through the MXU. Gradients flow to s1, s2
+    (-> attention params) and Wh.
+    """
+    return flash_gat_forward(B, s1, s2, Wh, alpha=alpha)
+
+
+def _gat_agg_fused_fwd(B, s1, s2, Wh, alpha):
+    out, m, l = flash_gat_forward(B, s1, s2, Wh, alpha=alpha, return_stats=True)
+    return out, (s1, s2, Wh, m, l)
+
+
+def _gat_agg_fused_bwd(B, alpha, res, g_out):
+    s1, s2, Wh, m, l = res
+    ds1, ds2, dWh = flash_gat_backward(B, s1, s2, Wh, g_out, m, l, alpha=alpha)
+    return ds1, ds2, dWh
+
+
+gat_attention_agg_fused.defvjp(_gat_agg_fused_fwd, _gat_agg_fused_bwd)
 
 
 def gat_attention_agg_ref(A: SparseMatrix, s1, s2, Wh, alpha=0.2):

@@ -87,6 +87,58 @@ def test_gat_agg_gradients_match_reference(rng):
         )
 
 
+@pytest.mark.parametrize("n,F", [(260, 16), (520, 32)])
+def test_fused_backward_matches_reference(rng, n, F):
+    """The fully fused (tile-kernel) backward reproduces the edge-path
+    gradients for s1, s2 and Wh — including multi-tile rows/cols."""
+    from sgracex1_tpu.ops.flash_gat import gat_attention_agg_fused
+
+    A, B = _graph(rng, n=n, density=0.02)
+    s1 = jnp.asarray(rng.standard_normal(A.n_rows).astype(np.float32))
+    s2 = jnp.asarray(rng.standard_normal(A.n_cols).astype(np.float32))
+    Wh = jnp.asarray(rng.standard_normal((A.n_cols, F)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((A.n_rows, F)).astype(np.float32))
+
+    def loss_fused(s1, s2, Wh):
+        return jnp.vdot(gat_attention_agg_fused(B, s1, s2, Wh), v)
+
+    def loss_ref(s1, s2, Wh):
+        return jnp.vdot(gat_attention_agg_ref(A, s1, s2, Wh), v)
+
+    gf = jax.grad(loss_fused, argnums=(0, 1, 2))(s1, s2, Wh)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(s1, s2, Wh)
+    for a, b in zip(gf, gr):
+        # bf16 MXU matmuls in both q and dWh: fp16-level tolerance
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-2, atol=2e-2
+        )
+
+
+def test_fused_backward_int8_mask_tiles(rng):
+    from sgracex1_tpu.ops.bsr import bsr_mask_from_sparse
+    from sgracex1_tpu.ops.flash_gat import gat_attention_agg_fused
+
+    A, _ = _graph(rng, n=260, density=0.02)
+    B8 = bsr_mask_from_sparse(A, tb=128)
+    s1 = jnp.asarray(rng.standard_normal(A.n_rows).astype(np.float32))
+    s2 = jnp.asarray(rng.standard_normal(A.n_cols).astype(np.float32))
+    Wh = jnp.asarray(rng.standard_normal((A.n_cols, 16)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((A.n_rows, 16)).astype(np.float32))
+
+    def loss(s1, s2, Wh):
+        return jnp.vdot(gat_attention_agg_fused(B8, s1, s2, Wh), v)
+
+    def loss_ref(s1, s2, Wh):
+        return jnp.vdot(gat_attention_agg_ref(A, s1, s2, Wh), v)
+
+    gf = jax.grad(loss, argnums=(0, 1, 2))(s1, s2, Wh)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(s1, s2, Wh)
+    for a, b in zip(gf, gr):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-2, atol=2e-2
+        )
+
+
 def test_gatconv_flash_backend_matches_edge_backend(rng):
     """GATConv produces the same output whether aggregation runs on the
     flash kernel (bsr-prepared adjacency) or the XLA edge path."""
