@@ -19,7 +19,11 @@ import numpy as np
 from benchmarks.common import timed_loop, load, header
 from sgracex1_tpu.graph.reorder import rcm_order, permute_graph
 from sgracex1_tpu.ops.bsr import bsr_from_sparse
-from sgracex1_tpu.ops.flash_gat import flash_gat_forward, gat_attention_agg_ref
+from sgracex1_tpu.ops.flash_gat import (
+    flash_gat_forward,
+    gat_attention_agg_fused,
+    gat_attention_agg_ref,
+)
 
 
 def bench_dataset(name: str, F: int = 32):
@@ -52,6 +56,33 @@ def bench_dataset(name: str, F: int = 32):
     sec = timed_loop(step_edge, Wh, consts=(A_dev, s1, s2), iters=300)
     print(
         f"  edge path   : {sec * 1e3:8.4f} ms  "
+        f"{adj.nnz / sec / 1e6:7.0f} M edges/s"
+    )
+
+    # fwd + bwd (one training-step aggregation): fused tile kernels vs
+    # the edge path — grads flow to s1, s2 and Wh
+    def step_fused_grad(wh, B, s1, s2):
+        g = jax.grad(
+            lambda w: jnp.sum(gat_attention_agg_fused(B, s1, s2, w) ** 2)
+        )(wh)
+        return wh + g * 1e-12
+
+    def step_edge_grad(wh, A, s1, s2):
+        g = jax.grad(
+            lambda w: jnp.sum(gat_attention_agg_ref(A, s1, s2, w) ** 2)
+        )(wh)
+        return wh + g * 1e-12
+
+    for tb in (256, 512):
+        B = jax.device_put(bsr_from_sparse(adj_p, tb=tb, dtype=jnp.float32))
+        sec = timed_loop(step_fused_grad, Wh, consts=(B, s1, s2), iters=300)
+        print(
+            f"  fused fwd+bwd tb={tb:3d}: {sec * 1e3:8.4f} ms  "
+            f"{adj.nnz / sec / 1e6:7.0f} M edges/s"
+        )
+    sec = timed_loop(step_edge_grad, Wh, consts=(A_dev, s1, s2), iters=100)
+    print(
+        f"  edge fwd+bwd        : {sec * 1e3:8.4f} ms  "
         f"{adj.nnz / sec / 1e6:7.0f} M edges/s"
     )
 

@@ -114,6 +114,23 @@ def bsr_spmm_xla(B: BSRMatrix, H: jax.Array) -> jax.Array:
     return out.reshape(n_rt * tb, P)[: B.n_rows]
 
 
+def bsr_transpose(B: BSRMatrix) -> BSRMatrix:
+    """BSR of A^T: swap block coordinates, transpose each tile, resort by
+    row block. Host-side when given numpy tiles, traceable otherwise."""
+    # tiles are (rb, cb)-sorted by construction, so a stable sort on cb
+    # yields (cb, rb) order (int64 keys are unavailable under jax's
+    # default x64-disabled config)
+    order = jnp.argsort(B.tile_cb, stable=True)
+    return BSRMatrix(
+        tiles=jnp.transpose(B.tiles, (0, 2, 1))[order],
+        tile_rb=B.tile_cb[order],
+        tile_cb=B.tile_rb[order],
+        n_rows=B.n_cols,
+        n_cols=B.n_rows,
+        tb=B.tb,
+    )
+
+
 def _bsr_kernel(tile_rb, tile_cb, a_ref, h_ref, out_ref):
     g = pl.program_id(0)
     first = jnp.logical_or(g == 0, tile_rb[g] != tile_rb[jnp.maximum(g - 1, 0)])
@@ -171,3 +188,35 @@ def bsr_spmm_pallas(
         ),
     )(B.tile_rb, B.tile_cb, B.tiles, H)
     return out[: B.n_rows]
+
+
+import functools as _functools
+
+
+@_functools.partial(jax.custom_vjp)
+def bsr_spmm(B, Bt, H):
+    """Differentiable ``A @ H`` on BSR tiles (Pallas forward AND backward).
+
+    ``Bt`` is the pre-transposed plan (``bsr_transpose(B)``): the VJP
+    ``d/dH (A @ H) . g = A^T @ g`` is just the same kernel over the
+    transposed tiles, so both directions stay on the MXU with no gather.
+    B/Bt take ``None`` cotangents (the adjacency is data, not a parameter —
+    matching the reference, whose backward never differentiates ADJ,
+    sgrace.py:1094-1103).
+    """
+    return bsr_spmm_pallas(B, H)
+
+
+def _bsr_spmm_fwd(B, Bt, H):
+    return bsr_spmm_pallas(B, H), (Bt, H.shape[0])
+
+
+def _bsr_spmm_bwd(res, g):
+    Bt, n = res
+    gH = bsr_spmm_pallas(Bt, g)
+    if gH.shape[0] < n:  # H was padded past the adjacency's column count
+        gH = jnp.pad(gH, ((0, n - gH.shape[0]), (0, 0)))
+    return None, None, gH[:n]
+
+
+bsr_spmm.defvjp(_bsr_spmm_fwd, _bsr_spmm_bwd)

@@ -202,23 +202,25 @@ def _edge_scores(A: SparseMatrix, s1, s2, alpha):
     return e_pre, s, mask
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(0, 1, 5))
+@partial(jax.custom_vjp, nondiff_argnums=(5,))
 def gat_attention_agg(A, B, s1, s2, Wh, alpha=0.2):
     """Differentiable fused GAT aggregation.
 
     A: SparseMatrix (edge list, used by the backward pass); B: BSRMatrix of
     the same adjacency (used by the flash forward). Gradients flow to s1,
-    s2 (-> attention params) and Wh.
+    s2 (-> attention params) and Wh. A and B are regular (traceable)
+    arguments with ``None`` cotangents, so the op works when the adjacency
+    enters through a jit/scan boundary.
     """
     return flash_gat_forward(B, s1, s2, Wh, alpha=alpha)
 
 
 def _gat_agg_fwd(A, B, s1, s2, Wh, alpha):
-    return flash_gat_forward(B, s1, s2, Wh, alpha=alpha), (s1, s2, Wh)
+    return flash_gat_forward(B, s1, s2, Wh, alpha=alpha), (A, s1, s2, Wh)
 
 
-def _gat_agg_bwd(A, B, alpha, res, g_out):
-    s1, s2, Wh, = res
+def _gat_agg_bwd(alpha, res, g_out):
+    A, s1, s2, Wh = res
     e_pre, s, mask = _edge_scores(A, s1, s2, alpha)
     # q[k] = g_out[row_k] . Wh[col_k]  (SDDMM of the cotangent)
     q = jnp.sum(
@@ -239,7 +241,7 @@ def _gat_agg_bwd(A, B, alpha, res, g_out):
         A.cols,
         num_segments=Wh.shape[0],
     )
-    return ds1[: s1.shape[0]], ds2[: s2.shape[0]], dWh
+    return None, None, ds1[: s1.shape[0]], ds2[: s2.shape[0]], dWh
 
 
 gat_attention_agg.defvjp(_gat_agg_fwd, _gat_agg_bwd)
@@ -439,26 +441,27 @@ def flash_gat_backward(
     return ds1.reshape(-1)[:n1], ds2.reshape(-1)[:n2], dWh[:nw]
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(0, 4))
+@partial(jax.custom_vjp, nondiff_argnums=(4,))
 def gat_attention_agg_fused(B, s1, s2, Wh, alpha=0.2):
     """Differentiable fused GAT aggregation, flash forward AND backward.
 
     Unlike ``gat_attention_agg`` this never touches the edge list: both
     directions stream BSR tiles through the MXU. Gradients flow to s1, s2
-    (-> attention params) and Wh.
+    (-> attention params) and Wh; B is a regular (traceable) argument with
+    a ``None`` cotangent.
     """
     return flash_gat_forward(B, s1, s2, Wh, alpha=alpha)
 
 
 def _gat_agg_fused_fwd(B, s1, s2, Wh, alpha):
     out, m, l = flash_gat_forward(B, s1, s2, Wh, alpha=alpha, return_stats=True)
-    return out, (s1, s2, Wh, m, l)
+    return out, (B, s1, s2, Wh, m, l)
 
 
-def _gat_agg_fused_bwd(B, alpha, res, g_out):
-    s1, s2, Wh, m, l = res
+def _gat_agg_fused_bwd(alpha, res, g_out):
+    B, s1, s2, Wh, m, l = res
     ds1, ds2, dWh = flash_gat_backward(B, s1, s2, Wh, g_out, m, l, alpha=alpha)
-    return ds1, ds2, dWh
+    return None, ds1, ds2, dWh
 
 
 gat_attention_agg_fused.defvjp(_gat_agg_fused_fwd, _gat_agg_fused_bwd)

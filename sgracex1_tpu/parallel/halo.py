@@ -151,6 +151,130 @@ def build_halo(
     )
 
 
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class HaloBSRPlan:
+    """Per-shard BSR tiles of the LOCAL adjacency blocks (+ transposed for
+    the backward). The local aggregation — the bulk of the edges after a
+    good partition — runs on the MXU tile kernel (ops/bsr.py) instead of
+    gather+segment-sum; only the remote (boundary) edges stay on the edge
+    path. Tile counts are padded to the max across shards with zero tiles
+    at (max rb, 0), which accumulate nothing."""
+
+    tiles: jax.Array  # [S, T, tb, tb]
+    tile_rb: jax.Array  # int32[S, T]
+    tile_cb: jax.Array  # int32[S, T]
+    tiles_t: jax.Array  # [S, Tt, tb, tb]  transposed local block
+    tile_rb_t: jax.Array
+    tile_cb_t: jax.Array
+    tb: int = dataclasses.field(metadata=dict(static=True))
+
+
+def build_halo_bsr(
+    G: HaloGraph, *, tb: int = 256, dtype=jnp.bfloat16
+) -> HaloBSRPlan:
+    """Densify each shard's local block into BSR tiles (fwd + transposed)."""
+    from sgracex1_tpu.ops.bsr import bsr_from_sparse
+
+    S = G.n_shards
+    n_local = G.n_local
+    plans, plans_t = [], []
+    for s in range(S):
+        r = np.asarray(G.rows_loc[s])
+        c = np.asarray(G.cols_loc[s])
+        v = np.asarray(G.vals_loc[s], dtype=np.float32)
+        A_l = SparseMatrix.from_coo(r, c, v, (n_local, n_local))
+        At_l = SparseMatrix.from_coo(c, r, v, (n_local, n_local))
+        plans.append(bsr_from_sparse(A_l, tb=tb, dtype=dtype))
+        plans_t.append(bsr_from_sparse(At_l, tb=tb, dtype=dtype))
+
+    def stack(ps):
+        T = max(p.num_tiles for p in ps)
+        tiles = np.zeros((S, T, tb, tb), np.float32)
+        rb = np.zeros((S, T), np.int32)
+        cb = np.zeros((S, T), np.int32)
+        for s, p in enumerate(ps):
+            k = p.num_tiles
+            tiles[s, :k] = np.asarray(p.tiles, dtype=np.float32)
+            rb[s, :k] = np.asarray(p.tile_rb)
+            cb[s, :k] = np.asarray(p.tile_cb)
+            rb[s, k:] = rb[s, k - 1]  # zero padding tiles: no 'first' reset
+        return jnp.asarray(tiles).astype(dtype), jnp.asarray(rb), jnp.asarray(cb)
+
+    t, rb, cb = stack(plans)
+    tt, rbt, cbt = stack(plans_t)
+    return HaloBSRPlan(
+        tiles=t, tile_rb=rb, tile_cb=cb,
+        tiles_t=tt, tile_rb_t=rbt, tile_cb_t=cbt, tb=tb,
+    )
+
+
+def dist_spmm_halo_bsr(
+    mesh: Mesh, G: HaloGraph, BP: HaloBSRPlan, H: jax.Array
+) -> jax.Array:
+    """out = A @ H: local block on the BSR tile kernel (MXU, fwd+bwd),
+    boundary edges via all_to_all + segment-sum. The collective and the
+    local tile matmuls have no data dependence — XLA overlaps them."""
+    from sgracex1_tpu.ops.bsr import BSRMatrix, bsr_spmm
+
+    tb = BP.tb
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P("graph", None),) * 3
+        + (P("graph", None, None, None), P("graph", None), P("graph", None)) * 2
+        + (P("graph", None, None), P("graph", None)),
+        out_specs=P("graph", None),
+        check_vma=False,  # pallas_call out_shape carries no vma annotation
+    )
+    def f(rows_rem, cols_halo, vals_rem, tiles, rb, cb, tiles_t, rbt, cbt,
+          send_idx, H_l):
+        rows_rem, cols_halo, vals_rem = rows_rem[0], cols_halo[0], vals_rem[0]
+        send_idx = send_idx[0]
+        B = BSRMatrix(tiles=tiles[0], tile_rb=rb[0], tile_cb=cb[0],
+                      n_rows=G.n_local, n_cols=G.n_local, tb=tb)
+        Bt = BSRMatrix(tiles=tiles_t[0], tile_rb=rbt[0], tile_cb=cbt[0],
+                       n_rows=G.n_local, n_cols=G.n_local, tb=tb)
+
+        send = jnp.take(H_l, send_idx.reshape(-1), axis=0).reshape(
+            send_idx.shape + (H_l.shape[1],)
+        )
+        halo = jax.lax.all_to_all(
+            send, "graph", split_axis=0, concat_axis=0, tiled=False
+        ).reshape(-1, H_l.shape[1])
+
+        out = bsr_spmm(B, Bt, H_l)[: G.n_local]
+        out = out + jax.ops.segment_sum(
+            jnp.take(halo, cols_halo, axis=0) * vals_rem[:, None],
+            rows_rem,
+            num_segments=G.n_local,
+        )
+        return out
+
+    return f(
+        G.rows_rem, G.cols_halo, G.vals_rem,
+        BP.tiles, BP.tile_rb, BP.tile_cb,
+        BP.tiles_t, BP.tile_rb_t, BP.tile_cb_t,
+        G.send_idx, H,
+    )
+
+
+def dist_gnn_layer_halo_bsr(
+    mesh: Mesh,
+    G: HaloGraph,
+    BP: HaloBSRPlan,
+    x: jax.Array,
+    W: jax.Array,
+    *,
+    relu: bool = False,
+) -> jax.Array:
+    """GCN layer ReLU?(A @ (X @ W)): MXU tile kernel for the local block."""
+    H = jnp.dot(x, W, preferred_element_type=jnp.float32)
+    out = dist_spmm_halo_bsr(mesh, G, BP, H)
+    return relu_hw(out) if relu else out
+
+
 def dist_spmm_halo(mesh: Mesh, G: HaloGraph, H: jax.Array) -> jax.Array:
     """out = A @ H with boundary-only exchange; H row-sharded [n_pad, P]."""
 

@@ -77,6 +77,47 @@ def test_halo_gradients_match(rng):
     )
 
 
+@pytest.mark.parametrize("n_dev", [2, 4])
+def test_halo_bsr_matches_edge_path(rng, n_dev):
+    """The MXU tile-kernel local aggregation (HaloBSRPlan) reproduces the
+    gather/segment-sum halo layer, forward and backward."""
+    from sgracex1_tpu.parallel.halo import (
+        build_halo_bsr,
+        dist_gnn_layer_halo_bsr,
+        dist_spmm_halo_bsr,
+    )
+
+    n, f, h = 96, 12, 8
+    A, G, mesh, H, H_d, n_pad = _setup(rng, n, n_dev, f=f)
+    # G was device_put; build the plan from a host copy
+    G_host = jax.tree.map(np.asarray, G)
+    BP = build_halo_bsr(G_host, tb=8, dtype=jnp.float32)
+    BP = jax.device_put(BP, NamedSharding(mesh, P("graph")))
+
+    out = np.asarray(
+        jax.jit(lambda hh: dist_spmm_halo_bsr(mesh, G, BP, hh))(H_d)
+    )[:n]
+    expect = np.asarray(spmm(A, jnp.asarray(H)))
+    np.testing.assert_allclose(out, expect, rtol=2e-2, atol=2e-2)  # bf16
+
+    W = jnp.asarray(rng.standard_normal((f, h)).astype(np.float32) * 0.3)
+
+    def loss_bsr(xv, Wv):
+        return jnp.sum(
+            dist_gnn_layer_halo_bsr(mesh, G, BP, xv, Wv, relu=True) ** 2
+        )
+
+    def loss_edge(xv, Wv):
+        return jnp.sum(dist_gnn_layer_halo(mesh, G, xv, Wv, relu=True) ** 2)
+
+    gb = jax.grad(loss_bsr, argnums=(0, 1))(H_d, W)
+    ge = jax.grad(loss_edge, argnums=(0, 1))(H_d, W)
+    for a, b in zip(gb, ge):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-2, atol=2e-2
+        )
+
+
 @pytest.mark.parametrize("n_dev", [2, 8])
 def test_halo_gat_matches_single(rng, n_dev):
     from sgracex1_tpu.ops.fused_gnn import gat_layer
