@@ -335,6 +335,120 @@ def dist_gnn_layer_halo(
 _NEG_INF = -9e15
 
 
+def dist_gat_layer_halo_flash(
+    mesh: Mesh,
+    G: HaloGraph,
+    BP: HaloBSRPlan,
+    x: jax.Array,
+    W: jax.Array,
+    attention: jax.Array,
+    *,
+    alpha: float = 0.2,
+    relu: bool = False,
+    nheads: int = 1,
+) -> jax.Array:
+    """GAT layer: local block on the flash kernel, remote edges merged via
+    softmax stats — the distributed version of flash attention's
+    block-combine step.
+
+    The local tiles produce a partially-normalized result with per-row
+    stats (m_l, l_l); the boundary (halo) edges produce theirs on the edge
+    path (they are few after a good partition); the two are combined with
+
+        m = max(m_l, m_r);  l = l_l*e^{m_l-m} + l_r*e^{m_r-m}
+        out = (acc_l*e^{m_l-m} + acc_r*e^{m_r-m}) / l
+
+    which is exactly the row softmax over all edges. Inference-optimized
+    path (the flash forward is not differentiated here); training uses
+    ``dist_gat_layer_halo``.
+    """
+    from sgracex1_tpu.ops.bsr import BSRMatrix
+    from sgracex1_tpu.ops.flash_gat import flash_gat_forward
+
+    FH = W.shape[1]
+    assert FH % nheads == 0
+    F = FH // nheads
+    tb = BP.tb
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P("graph", None),) * 3
+        + (P("graph", None, None, None), P("graph", None), P("graph", None))
+        + (P("graph", None, None), P("graph", None), P(None, None), P(None)),
+        out_specs=P("graph", None),
+        check_vma=False,
+    )
+    def f(rows_rem, cols_halo, vals_rem, tiles, rb, cb, send_idx, x_l, W_r, a):
+        rows_rem, cols_halo, vals_rem = rows_rem[0], cols_halo[0], vals_rem[0]
+        send_idx = send_idx[0]
+        B = BSRMatrix(tiles=tiles[0], tile_rb=rb[0], tile_cb=cb[0],
+                      n_rows=G.n_local, n_cols=G.n_local, tb=tb)
+
+        H_l = jnp.dot(x_l, W_r, preferred_element_type=jnp.float32)
+        send = jnp.take(H_l, send_idx.reshape(-1), axis=0).reshape(
+            send_idx.shape + (FH,)
+        )
+        halo = jax.lax.all_to_all(
+            send, "graph", split_axis=0, concat_axis=0, tiled=False
+        ).reshape(-1, FH)
+
+        a_src = a[:FH].reshape(nheads, F)
+        a_dst = a[FH:].reshape(nheads, F)
+        mask_r = vals_rem > 0
+        nl = G.n_local
+
+        outs = []
+        for h in range(nheads):
+            sl = slice(h * F, (h + 1) * F)
+            s1 = jnp.dot(H_l[:, sl], a_src[h],
+                         preferred_element_type=jnp.float32)
+            s2 = jnp.dot(H_l[:, sl], a_dst[h],
+                         preferred_element_type=jnp.float32)
+            s2h = jnp.dot(halo[:, sl], a_dst[h],
+                          preferred_element_type=jnp.float32)
+
+            o_l, m_l, l_l = flash_gat_forward(
+                B, s1, s2, H_l[:, sl], alpha=alpha, return_stats=True
+            )
+            acc_l = o_l * l_l[:nl]  # un-normalize
+            m_l = m_l[:nl, 0]
+            l_l = l_l[:nl, 0]
+
+            # remote edges: classic streaming softmax pieces on the halo
+            e = jnp.take(s1, rows_rem) + jnp.take(s2h, cols_halo)
+            e = jnp.where(e > 0, e, alpha * e)
+            e = jnp.where(mask_r, e, _NEG_INF)
+            m_r = jax.ops.segment_max(e, rows_rem, num_segments=nl)
+            m_r = jnp.maximum(m_r, _NEG_INF)  # -inf -> sentinel (empty rows)
+            ex = jnp.where(
+                mask_r, jnp.exp(e - jnp.take(m_r, rows_rem)), 0.0
+            )
+            l_r = jax.ops.segment_sum(ex, rows_rem, num_segments=nl)
+            acc_r = jax.ops.segment_sum(
+                jnp.take(halo[:, sl], cols_halo, axis=0) * ex[:, None],
+                rows_rem,
+                num_segments=nl,
+            )
+
+            m = jnp.maximum(m_l, m_r)
+            c_l = jnp.exp(m_l - m)
+            c_r = jnp.exp(m_r - m)
+            denom = l_l * c_l + l_r * c_r
+            num = acc_l * c_l[:, None] + acc_r * c_r[:, None]
+            outs.append(
+                jnp.where(denom[:, None] > 0, num / jnp.maximum(denom, 1e-30)[:, None], 0.0)
+            )
+        out = jnp.concatenate(outs, axis=-1)
+        return relu_hw(out) if relu else out
+
+    return f(
+        G.rows_rem, G.cols_halo, G.vals_rem,
+        BP.tiles, BP.tile_rb, BP.tile_cb,
+        G.send_idx, x, W, attention.reshape(-1),
+    )
+
+
 def dist_gat_layer_halo(
     mesh: Mesh,
     G: HaloGraph,

@@ -118,6 +118,45 @@ def test_halo_bsr_matches_edge_path(rng, n_dev):
         )
 
 
+@pytest.mark.parametrize("n_dev,nheads", [(2, 1), (4, 2)])
+def test_halo_gat_flash_matches_edge_path(rng, n_dev, nheads):
+    """Distributed flash GAT (local tiles + stats-merged halo edges)
+    reproduces the edge-path halo GAT layer."""
+    from sgracex1_tpu.parallel.halo import (
+        build_halo_bsr,
+        dist_gat_layer_halo,
+        dist_gat_layer_halo_flash,
+    )
+
+    n, f, F = 96, 12, 8
+    A, G, mesh, X, X_d, n_pad = _setup(rng, n, n_dev, f=f)
+    G_host = jax.tree.map(np.asarray, G)
+    BP = build_halo_bsr(G_host, tb=8, dtype=jnp.float32)
+    BP = jax.device_put(BP, NamedSharding(mesh, P("graph")))
+    W = jnp.asarray(
+        rng.standard_normal((f, F * nheads)).astype(np.float32) * 0.3
+    )
+    att = jnp.asarray(
+        rng.standard_normal((2 * F * nheads, 1)).astype(np.float32) * 0.3
+    )
+
+    out = np.asarray(
+        jax.jit(
+            lambda xv: dist_gat_layer_halo_flash(
+                mesh, G, BP, xv, W, att, nheads=nheads, relu=True
+            )
+        )(X_d)
+    )[:n]
+    ref = np.asarray(
+        jax.jit(
+            lambda xv: dist_gat_layer_halo(
+                mesh, G, xv, W, att, nheads=nheads, relu=True
+            )
+        )(X_d)
+    )[:n]
+    np.testing.assert_allclose(out, ref, rtol=2e-2, atol=2e-2)  # bf16
+
+
 @pytest.mark.parametrize("n_dev", [2, 8])
 def test_halo_gat_matches_single(rng, n_dev):
     from sgracex1_tpu.ops.fused_gnn import gat_layer
