@@ -45,13 +45,23 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from sgracex1_tpu.graph.csr import SparseMatrix
-from sgracex1_tpu.ops.bsr import BSRMatrix
+from sgracex1_tpu.ops.bsr import BSRMatrix, unpack_mask_tile
 
 _NEG_INF = -9e15  # reference mask value (sgrace.py:638)
 
 
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
+
+
+def _tile_mask(a_ref, tb: int):
+    """Adjacency tile -> bool mask; handles f32/int8 value tiles and
+    1-bit packed tiles (detected by the narrow last dim)."""
+    if a_ref.shape[-1] == tb // 8 and tb > 8:
+        return unpack_mask_tile(a_ref[0], tb)
+    # cast before comparing: Mosaic/v5e has no int8 vector compare, and the
+    # cast is free relative to the 4x HBM saving of int8 mask tiles
+    return a_ref[0].astype(jnp.float32) > 0
 
 
 def _flash_gat_kernel(
@@ -71,9 +81,7 @@ def _flash_gat_kernel(
         l_ref[:] = jnp.zeros_like(l_ref)
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    # cast before comparing: Mosaic/v5e has no int8 vector compare, and the
-    # cast is free relative to the 4x HBM saving of int8 mask tiles
-    mask = a_ref[0].astype(jnp.float32) > 0  # [tb, tb]
+    mask = _tile_mask(a_ref, s1_ref.shape[0])  # [tb, tb]
     e = s1_ref[:] + s2_ref[:].reshape(1, -1)  # [tb, 1] + [1, tb]
     e = jnp.where(e > 0, e, alpha * e)
     e = jnp.where(mask, e, _NEG_INF)
@@ -148,7 +156,9 @@ def flash_gat_forward(
         num_scalar_prefetch=2,
         grid=(B.num_tiles,),
         in_specs=[
-            pl.BlockSpec((1, tb, tb), lambda g, rbs, cbs: (g, 0, 0)),
+            pl.BlockSpec(
+                (1, tb, B.tiles.shape[-1]), lambda g, rbs, cbs: (g, 0, 0)
+            ),
             pl.BlockSpec((tb, 1), lambda g, rbs, cbs: (rbs[g], 0)),
             pl.BlockSpec((tb, 1), lambda g, rbs, cbs: (cbs[g], 0)),
             pl.BlockSpec((tb, F), lambda g, rbs, cbs: (cbs[g], 0)),
@@ -257,7 +267,7 @@ def _tile_probs(a_ref, s1_ref, s2_ref, m_ref, l_ref, alpha):
 
     Returns (p, e_pre_pos, mask): probabilities, LeakyReLU' selector, mask.
     """
-    mask = a_ref[0].astype(jnp.float32) > 0
+    mask = _tile_mask(a_ref, s1_ref.shape[0])
     e_pre = s1_ref[:] + s2_ref[:].reshape(1, -1)
     e = jnp.where(e_pre > 0, e_pre, alpha * e_pre)
     p = jnp.where(mask, jnp.exp(e - m_ref[:]), 0.0) / jnp.maximum(
@@ -377,7 +387,9 @@ def flash_gat_backward(
         num_scalar_prefetch=2,
         grid=(B.num_tiles,),
         in_specs=[
-            pl.BlockSpec((1, tb, tb), lambda g, rbs, cbs: (g, 0, 0)),
+            pl.BlockSpec(
+                (1, tb, B.tiles.shape[-1]), lambda g, rbs, cbs: (g, 0, 0)
+            ),
             pl.BlockSpec((tb, 1), lambda g, rbs, cbs: (rbs[g], 0)),
             pl.BlockSpec((tb, 1), lambda g, rbs, cbs: (cbs[g], 0)),
             stat,
@@ -410,7 +422,10 @@ def flash_gat_backward(
         num_scalar_prefetch=3,
         grid=(B.num_tiles,),
         in_specs=[
-            pl.BlockSpec((1, tb, tb), lambda g, perm, rbs, cbs: (perm[g], 0, 0)),
+            pl.BlockSpec(
+                (1, tb, B.tiles.shape[-1]),
+                lambda g, perm, rbs, cbs: (perm[g], 0, 0),
+            ),
             rstat,
             pl.BlockSpec((tb, 1), lambda g, perm, rbs, cbs: (cbs[g], 0)),
             rstat,

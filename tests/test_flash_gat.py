@@ -139,6 +139,39 @@ def test_fused_backward_int8_mask_tiles(rng):
         )
 
 
+def test_flash_bitpacked_mask_tiles(rng):
+    """1-bit packed mask tiles (32x less HBM than f32) reproduce the edge
+    path, forward and fused backward."""
+    from sgracex1_tpu.ops.bsr import bsr_bitmask_from_sparse
+    from sgracex1_tpu.ops.flash_gat import gat_attention_agg_fused
+
+    A, _ = _graph(rng, n=1500, density=0.005)
+    B1 = bsr_bitmask_from_sparse(A, tb=1024)
+    assert B1.tiles.dtype == jnp.uint8
+    assert B1.tiles.shape[-1] == 128
+    s1 = jnp.asarray(rng.standard_normal(A.n_rows).astype(np.float32))
+    s2 = jnp.asarray(rng.standard_normal(A.n_cols).astype(np.float32))
+    Wh = jnp.asarray(rng.standard_normal((A.n_cols, 16)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((A.n_rows, 16)).astype(np.float32))
+
+    out = np.asarray(flash_gat_forward(B1, s1, s2, Wh))
+    ref = np.asarray(gat_attention_agg_ref(A, s1, s2, Wh))
+    np.testing.assert_allclose(out, ref, rtol=2e-2, atol=2e-2)
+
+    def loss(s1, s2, Wh):
+        return jnp.vdot(gat_attention_agg_fused(B1, s1, s2, Wh), v)
+
+    def loss_ref(s1, s2, Wh):
+        return jnp.vdot(gat_attention_agg_ref(A, s1, s2, Wh), v)
+
+    gf = jax.grad(loss, argnums=(0, 1, 2))(s1, s2, Wh)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(s1, s2, Wh)
+    for a, b in zip(gf, gr):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-2, atol=2e-2
+        )
+
+
 def test_gatconv_flash_backend_matches_edge_backend(rng):
     """GATConv produces the same output whether aggregation runs on the
     flash kernel (bsr-prepared adjacency) or the XLA edge path."""
