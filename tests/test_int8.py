@@ -63,6 +63,53 @@ def test_int8_layer_close_to_float():
     assert err < 0.05 * scale_err + 0.01, f"int8 err {err} vs range {scale_err}"
 
 
+@pytest.mark.parametrize("qbits", [4, 2])
+def test_subbyte_layer_close_to_float(qbits):
+    """True integer inference at 4/2 bits: operands are constrained to the
+    2^qbits grid (the reference's adaptive-quantization widths,
+    matrix_mult.h:166-183 / sgrace.py:70-92) and the arithmetic runs on the
+    int8 MXU — sub-byte values are exact in int8, so this IS the q-bit
+    integer datapath. Looser closeness bound at narrower widths."""
+    rng = np.random.default_rng(2)
+    n, f, p = 64, 32, 16
+    X = rng.uniform(0, 1, (n, f)).astype(np.float32)
+    W = rng.uniform(-0.5, 0.5, (f, p)).astype(np.float32)
+    A = (rng.uniform(size=(n, n)) < 0.1).astype(np.float32)
+    A /= np.maximum(A.sum(1, keepdims=True), 1)
+
+    c_x, c_w = _uc(1.0, qbits=qbits), _sc(0.5, qbits=qbits)
+    c_a = _uc(1.0, qbits=qbits)
+    h_absmax = float(np.abs(X @ W).max())
+    layer = qi8.freeze_gcn_layer(W, c_x, c_w, c_a, h_absmax=h_absmax)
+
+    xs = qi8.quantize_unsigned_shifted(jnp.asarray(X), c_x)
+    # quantized operands must live on the q-bit grid
+    assert int(xs.astype(np.int32).max()) + 128 <= 2**qbits - 1
+    assert int(np.abs(np.asarray(layer.wq)).max()) <= 2 ** (qbits - 1) - 1
+    a_s = qi8.dense_adjacency_int8(A, c_a)
+    acc, scale = jax.jit(qi8.int8_gcn_layer)(layer, a_s, xs)
+
+    # exact integer self-consistency: the TPU pipeline must equal a numpy
+    # simulation over the same q-bit integer operands at any width
+    Xq = np.asarray(xs).astype(np.int64) + 128
+    Aq = np.asarray(a_s).astype(np.int64) + 128
+    Wq = np.asarray(layer.wq).astype(np.int64)
+    acc1 = Xq @ Wq
+    hq = np.clip(
+        np.round(acc1 * (layer.s_x * layer.s_w / layer.s_h)), -127, 127
+    ).astype(np.int64)
+    np.testing.assert_array_equal(np.asarray(acc), Aq @ hq)
+
+    if qbits == 4:
+        # float closeness only where post-training quantization is sane;
+        # the reference reaches <=2-bit accuracy via QAT, not PTQ
+        out = np.asarray(qi8.dequantize_acc(acc, scale))
+        expect = A @ (X @ W)
+        err = np.abs(out - expect).max()
+        rng_err = np.abs(expect).max()
+        assert err < 0.35 * rng_err + 0.05, f"4-bit err {err} vs {rng_err}"
+
+
 def test_relu_is_lower_clamp():
     """Requantize-to-unsigned zeroes negatives exactly like float ReLU."""
     acc = jnp.asarray(np.array([[-100, -1, 0, 1, 100]], np.int32))
