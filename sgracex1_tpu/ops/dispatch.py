@@ -122,12 +122,19 @@ def prepare_adjacency(
     cb: int = 1024,
     be: int = 1024,
     tb: int | None = None,
+    for_gat: bool = False,
 ) -> PreparedAdjacency:
     """Choose and precompute the aggregation backend for a graph.
 
     ``auto`` picks the backend (and BSR tile size) by a measured cost model
     over the actual tile population of this graph — RCM-reorder the graph
     first (graph/reorder.py) to unlock the block-sparse paths.
+
+    ``for_gat`` additionally attaches int8 mask tiles even when the chosen
+    GCN aggregation backend is not ``bsr``, so GATConv's fused
+    flash-attention path (13x over the edge path) engages — the mask tiles
+    are what the flash kernel reads, independent of how plain ``A @ H``
+    aggregation runs.
     """
     n = max(A.n_rows, A.n_cols)
     if method == "auto":
@@ -140,8 +147,19 @@ def prepare_adjacency(
     if tb is None:
         tb = 256
 
+    def _finish(prep: PreparedAdjacency) -> PreparedAdjacency:
+        if for_gat and prep.bsr is None:
+            from sgracex1_tpu.ops.bsr import bsr_mask_from_sparse
+
+            gat_tb = 256 if n <= 8192 else 512  # measured flash sweet spots
+            return dataclasses.replace(
+                prep,
+                bsr=jax.device_put(bsr_mask_from_sparse(A, tb=gat_tb)),
+            )
+        return prep
+
     if method == "bsr":
-        return PreparedAdjacency(
+        return _finish(PreparedAdjacency(
             A=A,
             dense=None,
             plan=None,
@@ -151,23 +169,23 @@ def prepare_adjacency(
                 bsr_from_sparse(A.transpose(), tb=tb, dtype=dense_dtype)
             ),
             kind="bsr",
-        )
+        ))
     if method == "dense":
         d = A.to_dense().astype(np.float32)  # host build — no device scatter
         dense = chunked_device_put(d.astype(dense_dtype))
-        return PreparedAdjacency(
+        return _finish(PreparedAdjacency(
             A=A, dense=dense, plan=None, plan_t=None, kind="dense"
-        )
+        ))
     if method == "pallas":
         plan = jax.device_put(plan_spmm(A, rb=rb, cb=cb, be=be))
         plan_t = jax.device_put(plan_spmm(A.transpose(), rb=rb, cb=cb, be=be))
-        return PreparedAdjacency(
+        return _finish(PreparedAdjacency(
             A=A, dense=None, plan=plan, plan_t=plan_t, kind="pallas"
-        )
+        ))
     if method == "xla":
-        return PreparedAdjacency(
+        return _finish(PreparedAdjacency(
             A=A, dense=None, plan=None, plan_t=None, kind="xla"
-        )
+        ))
     raise ValueError(f"unknown method {method!r}")
 
 
