@@ -346,31 +346,11 @@ def _flash_bwd_col_kernel(
     )  # colsum as a matvec -> [tb(c), 1]
 
 
-def flash_gat_backward(
-    B: BSRMatrix,
-    s1: jax.Array,
-    s2: jax.Array,
-    Wh: jax.Array,
-    g_out: jax.Array,
-    m: jax.Array,
-    l: jax.Array,
-    *,
-    alpha: float = 0.2,
-    interpret: bool | None = None,
-):
-    """(ds1, ds2, dWh) of the flash GAT aggregation — tile kernels only.
-
-    Same Jacobian identity as the reference (sgrace.py:979-981,1011),
-    reorganized into row- and column-streaming tile reductions so no
-    E-sized gather ever materializes.
-    """
-    if interpret is None:
-        interpret = jax.default_backend() != "tpu"
+def _pad_bwd_operands(B: BSRMatrix, s1, s2, Wh, g_out):
+    """Pad (s1, s2, Wh, g_out) to the tile grid the backward kernels read."""
     tb = B.tb
     n_rt = B.n_row_tiles
     n_ct = _round_up(B.n_cols, tb) // tb
-    F = Wh.shape[1]
-    n1, n2, nw = s1.shape[0], s2.shape[0], Wh.shape[0]
     if Wh.shape[0] != n_ct * tb:
         Wh = jnp.pad(Wh, ((0, n_ct * tb - Wh.shape[0]), (0, 0)))
     s1 = s1.reshape(-1, 1)
@@ -381,7 +361,16 @@ def flash_gat_backward(
         s2 = jnp.pad(s2, ((0, n_ct * tb - s2.shape[0]), (0, 0)))
     if g_out.shape[0] != n_rt * tb:
         g_out = jnp.pad(g_out, ((0, n_rt * tb - g_out.shape[0]), (0, 0)))
+    return s1, s2, Wh, g_out
 
+
+def _bwd_row_pass(B, s1, s2, m, l, Wh, g_out, *, alpha, interpret):
+    """Row-streaming pass over padded operands -> (t, u1, u2), each
+    [n_rt*tb, 1]. ``m``/``l`` are the (possibly externally merged) softmax
+    stats used to recompute tile probabilities."""
+    tb = B.tb
+    n_rt = B.n_row_tiles
+    F = Wh.shape[1]
     stat = pl.BlockSpec((tb, 1), lambda g, rbs, cbs: (rbs[g], 0))
     row_grid = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -400,7 +389,7 @@ def flash_gat_backward(
         out_specs=[stat, stat, stat],
     )
     stat_shape = jax.ShapeDtypeStruct((n_rt * tb, 1), jnp.float32)
-    t, u1, u2 = pl.pallas_call(
+    return pl.pallas_call(
         partial(_flash_bwd_row_kernel, alpha=alpha),
         grid_spec=row_grid,
         out_shape=[stat_shape, stat_shape, stat_shape],
@@ -411,8 +400,15 @@ def flash_gat_backward(
             transcendentals=B.num_tiles * tb * tb,
         ),
     )(B.tile_rb, B.tile_cb, B.tiles, s1, s2, m, l, Wh, g_out)
-    ds1 = u1 - t * u2
 
+
+def _bwd_col_pass(B, s1, s2, m, l, t, Wh, g_out, *, alpha, interpret):
+    """Column-streaming pass over padded operands -> (dWh, ds2), shapes
+    [n_ct*tb, F] / [n_ct*tb, 1]. ``t`` is the full row reduction
+    (local + any external edges) the Jacobian identity subtracts."""
+    tb = B.tb
+    n_ct = _round_up(B.n_cols, tb) // tb
+    F = Wh.shape[1]
     perm = jnp.argsort(B.tile_cb)
     rbs_c = jnp.take(B.tile_rb, perm)
     cbs_c = jnp.take(B.tile_cb, perm)
@@ -439,7 +435,7 @@ def flash_gat_backward(
             pl.BlockSpec((tb, 1), lambda g, perm, rbs, cbs: (cbs[g], 0)),
         ],
     )
-    dWh, ds2 = pl.pallas_call(
+    return pl.pallas_call(
         partial(_flash_bwd_col_kernel, alpha=alpha),
         grid_spec=col_grid,
         out_shape=[
@@ -453,6 +449,37 @@ def flash_gat_backward(
             transcendentals=B.num_tiles * tb * tb,
         ),
     )(perm, rbs_c, cbs_c, B.tiles, s1, s2, m, l, t, Wh, g_out)
+
+
+def flash_gat_backward(
+    B: BSRMatrix,
+    s1: jax.Array,
+    s2: jax.Array,
+    Wh: jax.Array,
+    g_out: jax.Array,
+    m: jax.Array,
+    l: jax.Array,
+    *,
+    alpha: float = 0.2,
+    interpret: bool | None = None,
+):
+    """(ds1, ds2, dWh) of the flash GAT aggregation — tile kernels only.
+
+    Same Jacobian identity as the reference (sgrace.py:979-981,1011),
+    reorganized into row- and column-streaming tile reductions so no
+    E-sized gather ever materializes.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    n1, n2, nw = s1.shape[0], s2.shape[0], Wh.shape[0]
+    s1, s2, Wh, g_out = _pad_bwd_operands(B, s1, s2, Wh, g_out)
+    t, u1, u2 = _bwd_row_pass(
+        B, s1, s2, m, l, Wh, g_out, alpha=alpha, interpret=interpret
+    )
+    ds1 = u1 - t * u2
+    dWh, ds2 = _bwd_col_pass(
+        B, s1, s2, m, l, t, Wh, g_out, alpha=alpha, interpret=interpret
+    )
     return ds1.reshape(-1)[:n1], ds2.reshape(-1)[:n2], dWh[:nw]
 
 
@@ -480,6 +507,169 @@ def _gat_agg_fused_bwd(alpha, res, g_out):
 
 
 gat_attention_agg_fused.defvjp(_gat_agg_fused_fwd, _gat_agg_fused_bwd)
+
+
+# ---------------------------------------------------------------------------
+# distributed building block: local flash tiles + halo edges, softmax-stats
+# merge in BOTH directions (forward combine + merged-stats fused backward)
+# ---------------------------------------------------------------------------
+
+
+def _halo_gat_forward(
+    B, s1, s2, s2h, Wh, halo, rows_rem, cols_halo, mask_rem, alpha
+):
+    """One shard's GAT row softmax over local tiles + remote (halo) edges.
+
+    Local tiles run the flash kernel (partial stats m_l, l_l); the few
+    boundary edges run the classic streaming-softmax pieces; the two are
+    combined with the flash block-combine identity
+
+        m = max(m_l, m_r);  l = l_l*e^{m_l-m} + l_r*e^{m_r-m}
+        out = (acc_l*e^{m_l-m} + acc_r*e^{m_r-m}) / l
+
+    which is exactly the row softmax over all edges. Returns
+    (out [nl, F], merged stats (m, l) [nl]).
+    """
+    nl = B.n_rows
+    o_l, m_l, l_l = flash_gat_forward(B, s1, s2, Wh, alpha=alpha,
+                                      return_stats=True)
+    acc_l = o_l * l_l[:nl]  # un-normalize the local partial result
+    m_l = m_l[:nl, 0]
+    l_l = l_l[:nl, 0]
+
+    e = jnp.take(s1, rows_rem) + jnp.take(s2h, cols_halo)
+    e = jnp.where(e > 0, e, alpha * e)
+    e = jnp.where(mask_rem, e, _NEG_INF)
+    m_r = jax.ops.segment_max(e, rows_rem, num_segments=nl)
+    m_r = jnp.maximum(m_r, _NEG_INF)  # empty rows: -inf -> sentinel
+    ex = jnp.where(mask_rem, jnp.exp(e - jnp.take(m_r, rows_rem)), 0.0)
+    l_r = jax.ops.segment_sum(ex, rows_rem, num_segments=nl)
+    acc_r = jax.ops.segment_sum(
+        jnp.take(halo, cols_halo, axis=0) * ex[:, None],
+        rows_rem,
+        num_segments=nl,
+    )
+
+    m = jnp.maximum(m_l, m_r)
+    c_l = jnp.exp(m_l - m)
+    c_r = jnp.exp(m_r - m)
+    l = l_l * c_l + l_r * c_r
+    num = acc_l * c_l[:, None] + acc_r * c_r[:, None]
+    out = jnp.where(
+        l[:, None] > 0, num / jnp.maximum(l, 1e-30)[:, None], 0.0
+    )
+    return out, m, l
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(9,))
+def flash_gat_halo_agg(
+    B, s1, s2, s2h, Wh, halo, rows_rem, cols_halo, mask_rem, alpha=0.2
+):
+    """Differentiable shard-local GAT aggregation over local BSR tiles plus
+    halo edges — fused flash kernels in BOTH directions, with the softmax
+    stats merged across the two edge populations.
+
+    Contains no collectives: the halo buffer is a regular diff argument, so
+    under shard_map autodiff transposes the surrounding all_to_all/gather
+    automatically and the cotangent flows back to the owning shards.
+    Gradients: s1/s2/s2h (-> attention params), Wh (local hidden rows),
+    halo (received remote hidden rows). B and the edge arrays get ``None``.
+
+    The backward recomputes local tile probabilities from the MERGED (m, l)
+    — the distributed extension of flash attention's saved-stats backward —
+    and evaluates the reference softmax-Jacobian identity
+    (sgrace.py:979-981,1011) with the row reduction t summed over local AND
+    remote edges.
+    """
+    out, _, _ = _halo_gat_forward(
+        B, s1, s2, s2h, Wh, halo, rows_rem, cols_halo, mask_rem, alpha
+    )
+    return out
+
+
+def _halo_agg_fwd(B, s1, s2, s2h, Wh, halo, rows_rem, cols_halo, mask_rem,
+                  alpha):
+    out, m, l = _halo_gat_forward(
+        B, s1, s2, s2h, Wh, halo, rows_rem, cols_halo, mask_rem, alpha
+    )
+    return out, (B, s1, s2, s2h, Wh, halo, rows_rem, cols_halo, mask_rem,
+                 m, l)
+
+
+def _halo_agg_bwd(alpha, res, g_out):
+    (B, s1, s2, s2h, Wh, halo, rows_rem, cols_halo, mask_rem, m, l) = res
+    interpret = jax.default_backend() != "tpu"
+    nl = B.n_rows
+    tb = B.tb
+    n_rt = B.n_row_tiles
+    n1, n2, nw = s1.shape[0], s2.shape[0], Wh.shape[0]
+    HL = halo.shape[0]
+
+    # pad merged stats to the tile grid (padding rows have no edges; their
+    # mask zeroes p regardless of the stat values — use (0, 1) to stay safe)
+    m_p = jnp.pad(m.reshape(-1, 1), ((0, n_rt * tb - nl), (0, 0)))
+    l_p = jnp.pad(
+        l.reshape(-1, 1), ((0, n_rt * tb - nl), (0, 0)), constant_values=1.0
+    )
+
+    s1p, s2p, Whp, g_outp = _pad_bwd_operands(B, s1, s2, Wh, g_out)
+
+    # local tile row reductions under the merged stats
+    t_l, u1_l, u2_l = _bwd_row_pass(
+        B, s1p, s2p, m_p, l_p, Whp, g_outp, alpha=alpha, interpret=interpret
+    )
+
+    # remote-edge pieces of the same reductions
+    e_pre = jnp.take(s1, rows_rem) + jnp.take(s2h, cols_halo)
+    lr = jnp.where(e_pre > 0, 1.0, alpha)
+    e = jnp.where(e_pre > 0, e_pre, alpha * e_pre)
+    p_r = jnp.where(
+        mask_rem, jnp.exp(e - jnp.take(m, rows_rem)), 0.0
+    ) / jnp.take(jnp.maximum(l, 1e-30), rows_rem)
+    q_r = jnp.sum(
+        jnp.take(g_out, rows_rem, axis=0) * jnp.take(halo, cols_halo, axis=0),
+        axis=1,
+    )
+    t_r = jax.ops.segment_sum(p_r * q_r, rows_rem, num_segments=nl)
+    u1_r = jax.ops.segment_sum(p_r * q_r * lr, rows_rem, num_segments=nl)
+    u2_r = jax.ops.segment_sum(p_r * lr, rows_rem, num_segments=nl)
+
+    t = t_l.reshape(-1)[:nl] + t_r
+    ds1 = (u1_l.reshape(-1)[:nl] + u1_r) - t * (
+        u2_l.reshape(-1)[:nl] + u2_r
+    )
+
+    # local column reductions need the FULL t (local + remote)
+    t_p = jnp.pad(t.reshape(-1, 1), ((0, n_rt * tb - nl), (0, 0)))
+    dWh, ds2 = _bwd_col_pass(
+        B, s1p, s2p, m_p, l_p, t_p, Whp, g_outp, alpha=alpha,
+        interpret=interpret,
+    )
+
+    # remote-edge cotangents: attention scores of halo columns and the halo
+    # feature rows themselves (transposed attention aggregation)
+    dE_r = p_r * (q_r - jnp.take(t, rows_rem)) * lr
+    dE_r = jnp.where(mask_rem, dE_r, 0.0)
+    ds2h = jax.ops.segment_sum(dE_r, cols_halo, num_segments=HL)
+    d_halo = jax.ops.segment_sum(
+        jnp.take(g_out, rows_rem, axis=0) * p_r[:, None],
+        cols_halo,
+        num_segments=HL,
+    )
+    return (
+        None,
+        ds1[:n1],
+        ds2.reshape(-1)[:n2],
+        ds2h,
+        dWh[:nw],
+        d_halo,
+        None,
+        None,
+        None,
+    )
+
+
+flash_gat_halo_agg.defvjp(_halo_agg_fwd, _halo_agg_bwd)
 
 
 def gat_attention_agg_ref(A: SparseMatrix, s1, s2, Wh, alpha=0.2):

@@ -189,16 +189,37 @@ def build_halo_bsr(
         plans_t.append(bsr_from_sparse(At_l, tb=tb, dtype=dtype))
 
     def stack(ps):
-        T = max(p.num_tiles for p in ps)
+        # full row-block cover: every row block needs >= 1 tile, or the flash
+        # kernel leaves its output/stat blocks unwritten (garbage). Rows
+        # whose edges are all remote can leave local blocks empty — add
+        # explicit zero tiles (mask all-false -> m=-inf, l=0, acc=0, which
+        # the stats merge treats as "no local edges").
+        n_rt = _round_up(n_local, tb) // tb
+        full = []
+        for p in ps:
+            rb_ = np.asarray(p.tile_rb)
+            cb_ = np.asarray(p.tile_cb)
+            t_ = np.asarray(p.tiles, dtype=np.float32)
+            missing = np.setdiff1d(np.arange(n_rt, dtype=np.int32), rb_)
+            if len(missing):
+                rb_ = np.concatenate([rb_, missing])
+                cb_ = np.concatenate([cb_, np.zeros_like(missing)])
+                t_ = np.concatenate(
+                    [t_, np.zeros((len(missing), tb, tb), np.float32)]
+                )
+                order = np.lexsort((cb_, rb_))
+                rb_, cb_, t_ = rb_[order], cb_[order], t_[order]
+            full.append((t_, rb_, cb_))
+        T = max(t_.shape[0] for t_, _, _ in full)
         tiles = np.zeros((S, T, tb, tb), np.float32)
         rb = np.zeros((S, T), np.int32)
         cb = np.zeros((S, T), np.int32)
-        for s, p in enumerate(ps):
-            k = p.num_tiles
-            tiles[s, :k] = np.asarray(p.tiles, dtype=np.float32)
-            rb[s, :k] = np.asarray(p.tile_rb)
-            cb[s, :k] = np.asarray(p.tile_cb)
-            rb[s, k:] = rb[s, k - 1]  # zero padding tiles: no 'first' reset
+        for s, (t_, rb_, cb_) in enumerate(full):
+            k = t_.shape[0]
+            tiles[s, :k] = t_
+            rb[s, :k] = rb_
+            cb[s, :k] = cb_
+            rb[s, k:] = rb_[-1]  # zero padding tiles: no 'first' reset
         return jnp.asarray(tiles).astype(dtype), jnp.asarray(rb), jnp.asarray(cb)
 
     t, rb, cb = stack(plans)
@@ -347,23 +368,20 @@ def dist_gat_layer_halo_flash(
     relu: bool = False,
     nheads: int = 1,
 ) -> jax.Array:
-    """GAT layer: local block on the flash kernel, remote edges merged via
-    softmax stats — the distributed version of flash attention's
-    block-combine step.
+    """GAT layer: local block on the fused flash kernels (forward AND
+    backward), remote edges merged via softmax stats — the distributed
+    version of flash attention's block-combine step, differentiable
+    end-to-end (ops/flash_gat.flash_gat_halo_agg).
 
-    The local tiles produce a partially-normalized result with per-row
-    stats (m_l, l_l); the boundary (halo) edges produce theirs on the edge
-    path (they are few after a good partition); the two are combined with
-
-        m = max(m_l, m_r);  l = l_l*e^{m_l-m} + l_r*e^{m_r-m}
-        out = (acc_l*e^{m_l-m} + acc_r*e^{m_r-m}) / l
-
-    which is exactly the row softmax over all edges. Inference-optimized
-    path (the flash forward is not differentiated here); training uses
-    ``dist_gat_layer_halo``.
+    Gradient semantics match ``dist_gat_layer_halo``: attention scores are
+    computed on gradient-stopped hidden states (the reference backward
+    approximation, sgrace.py:1094-1103); the aggregation itself
+    differentiates through the fused tile kernels, the halo edges, AND the
+    all_to_all (autodiff transposes the collective, returning halo
+    cotangents to the owning shards).
     """
     from sgracex1_tpu.ops.bsr import BSRMatrix
-    from sgracex1_tpu.ops.flash_gat import flash_gat_forward
+    from sgracex1_tpu.ops.flash_gat import flash_gat_halo_agg
 
     FH = W.shape[1]
     assert FH % nheads == 0
@@ -393,51 +411,26 @@ def dist_gat_layer_halo_flash(
             send, "graph", split_axis=0, concat_axis=0, tiled=False
         ).reshape(-1, FH)
 
+        Hsg = jax.lax.stop_gradient(H_l)
+        halo_sg = jax.lax.stop_gradient(halo)
         a_src = a[:FH].reshape(nheads, F)
         a_dst = a[FH:].reshape(nheads, F)
         mask_r = vals_rem > 0
-        nl = G.n_local
 
         outs = []
         for h in range(nheads):
             sl = slice(h * F, (h + 1) * F)
-            s1 = jnp.dot(H_l[:, sl], a_src[h],
+            s1 = jnp.dot(Hsg[:, sl], a_src[h],
                          preferred_element_type=jnp.float32)
-            s2 = jnp.dot(H_l[:, sl], a_dst[h],
+            s2 = jnp.dot(Hsg[:, sl], a_dst[h],
                          preferred_element_type=jnp.float32)
-            s2h = jnp.dot(halo[:, sl], a_dst[h],
+            s2h = jnp.dot(halo_sg[:, sl], a_dst[h],
                           preferred_element_type=jnp.float32)
-
-            o_l, m_l, l_l = flash_gat_forward(
-                B, s1, s2, H_l[:, sl], alpha=alpha, return_stats=True
-            )
-            acc_l = o_l * l_l[:nl]  # un-normalize
-            m_l = m_l[:nl, 0]
-            l_l = l_l[:nl, 0]
-
-            # remote edges: classic streaming softmax pieces on the halo
-            e = jnp.take(s1, rows_rem) + jnp.take(s2h, cols_halo)
-            e = jnp.where(e > 0, e, alpha * e)
-            e = jnp.where(mask_r, e, _NEG_INF)
-            m_r = jax.ops.segment_max(e, rows_rem, num_segments=nl)
-            m_r = jnp.maximum(m_r, _NEG_INF)  # -inf -> sentinel (empty rows)
-            ex = jnp.where(
-                mask_r, jnp.exp(e - jnp.take(m_r, rows_rem)), 0.0
-            )
-            l_r = jax.ops.segment_sum(ex, rows_rem, num_segments=nl)
-            acc_r = jax.ops.segment_sum(
-                jnp.take(halo[:, sl], cols_halo, axis=0) * ex[:, None],
-                rows_rem,
-                num_segments=nl,
-            )
-
-            m = jnp.maximum(m_l, m_r)
-            c_l = jnp.exp(m_l - m)
-            c_r = jnp.exp(m_r - m)
-            denom = l_l * c_l + l_r * c_r
-            num = acc_l * c_l[:, None] + acc_r * c_r[:, None]
             outs.append(
-                jnp.where(denom[:, None] > 0, num / jnp.maximum(denom, 1e-30)[:, None], 0.0)
+                flash_gat_halo_agg(
+                    B, s1, s2, s2h, H_l[:, sl], halo[:, sl],
+                    rows_rem, cols_halo, mask_r, alpha,
+                )
             )
         out = jnp.concatenate(outs, axis=-1)
         return relu_hw(out) if relu else out

@@ -59,3 +59,20 @@ def device_alive(seconds: float = 30.0) -> bool:
         return run_with_deadline(probe, seconds) == 64.0
     except (DeviceTimeout, Exception):  # noqa: BLE001
         return False
+
+
+def device_alive_retry(
+    attempts: int = 3, seconds: float = 60.0, backoff_s: float = 5.0
+) -> bool:
+    """Liveness probe with retries — relay hangs are usually transient
+    (a single-probe abort cost round 1 its perf record). Each attempt gets
+    its own deadline; between attempts we sleep ``backoff_s`` to let a
+    wedged relay connection recover."""
+    import time
+
+    for i in range(attempts):
+        if device_alive(seconds):
+            return True
+        if i + 1 < attempts:
+            time.sleep(backoff_s * (i + 1))
+    return False

@@ -207,3 +207,67 @@ def test_flash_int8_mask_tiles(rng):
     out8 = np.asarray(flash_gat_forward(B8, s1, s2, Wh))
     ref = np.asarray(gat_attention_agg_ref(A, s1, s2, Wh))
     np.testing.assert_allclose(out8, ref, rtol=2e-2, atol=2e-2)
+
+
+def test_halo_agg_vjp_matches_autodiff(rng):
+    """flash_gat_halo_agg's hand-written merged-stats VJP matches jnp
+    autodiff of the same shard-local composition (local tiles + remote
+    edges, one row softmax over both)."""
+    from sgracex1_tpu.ops.flash_gat import flash_gat_halo_agg
+
+    n, HL, F, alpha = 96, 24, 8, 0.2
+    A, B = _graph(rng, n=n, density=0.05, tb=16)
+    # remote edges: random (row, halo-slot) pairs, some masked out
+    E_r = 80
+    rows_rem = jnp.asarray(rng.integers(0, n, E_r).astype(np.int32))
+    cols_halo = jnp.asarray(rng.integers(0, HL, E_r).astype(np.int32))
+    mask_rem = jnp.asarray(rng.random(E_r) < 0.8)
+
+    s1 = jnp.asarray(rng.standard_normal(n).astype(np.float32) * 0.5)
+    s2 = jnp.asarray(rng.standard_normal(n).astype(np.float32) * 0.5)
+    s2h = jnp.asarray(rng.standard_normal(HL).astype(np.float32) * 0.5)
+    Wh = jnp.asarray(rng.standard_normal((n, F)).astype(np.float32))
+    halo = jnp.asarray(rng.standard_normal((HL, F)).astype(np.float32))
+
+    def ref(s1v, s2v, s2hv, Whv, halov):
+        # dense local scores masked by the adjacency + remote edge scores,
+        # one softmax over the union
+        Ad = jnp.asarray(A.to_dense())
+        e_loc = s1v[:, None] + s2v[None, :]
+        e_loc = jnp.where(e_loc > 0, e_loc, alpha * e_loc)
+        e_loc = jnp.where(Ad > 0, e_loc, -9e15)
+        e_rem_full = jnp.full((n, E_r), -9e15)
+        e_r = jnp.take(s1v, rows_rem) + jnp.take(s2hv, cols_halo)
+        e_r = jnp.where(e_r > 0, e_r, alpha * e_r)
+        e_r = jnp.where(mask_rem, e_r, -9e15)
+        e_rem_full = e_rem_full.at[rows_rem, jnp.arange(E_r)].set(e_r)
+        e_all = jnp.concatenate([e_loc, e_rem_full], axis=1)
+        p = jax.nn.softmax(e_all, axis=1)
+        feats = jnp.concatenate([Whv, jnp.take(halov, cols_halo, axis=0)])
+        out = p @ feats
+        # rows with no edges at all: softmax of all -inf is uniform garbage;
+        # zero them like the kernel does
+        has_edge = jnp.max(e_all, axis=1) > -8e15
+        return jnp.where(has_edge[:, None], out, 0.0)
+
+    def fused(s1v, s2v, s2hv, Whv, halov):
+        return flash_gat_halo_agg(
+            B, s1v, s2v, s2hv, Whv, halov, rows_rem, cols_halo, mask_rem,
+            alpha,
+        )
+
+    args = (s1, s2, s2h, Wh, halo)
+    out_f = np.asarray(fused(*args))
+    out_r = np.asarray(ref(*args))
+    np.testing.assert_allclose(out_f, out_r, rtol=2e-2, atol=2e-2)
+
+    def loss(f):
+        return lambda *a: jnp.sum(f(*a) ** 2)
+
+    gf = jax.grad(loss(fused), argnums=(0, 1, 2, 3, 4))(*args)
+    gr = jax.grad(loss(ref), argnums=(0, 1, 2, 3, 4))(*args)
+    for a, b, name in zip(gf, gr, ("s1", "s2", "s2h", "Wh", "halo")):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-2, atol=2e-2,
+            err_msg=f"halo-agg grad mismatch for {name}",
+        )

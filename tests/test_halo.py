@@ -157,6 +157,53 @@ def test_halo_gat_flash_matches_edge_path(rng, n_dev, nheads):
     np.testing.assert_allclose(out, ref, rtol=2e-2, atol=2e-2)  # bf16
 
 
+@pytest.mark.parametrize("n_dev,nheads", [(2, 1), (4, 2)])
+def test_halo_gat_flash_gradients_match(rng, n_dev, nheads):
+    """Fused distributed GAT TRAINING: gradients of the flash layer (tile
+    kernels both directions + merged-stats backward + all_to_all transpose)
+    match the edge-path halo GAT layer for x, W, and attention params."""
+    from sgracex1_tpu.parallel.halo import (
+        build_halo_bsr,
+        dist_gat_layer_halo,
+        dist_gat_layer_halo_flash,
+    )
+
+    n, f, F = 96, 12, 8
+    A, G, mesh, X, X_d, n_pad = _setup(rng, n, n_dev, f=f)
+    G_host = jax.tree.map(np.asarray, G)
+    BP = build_halo_bsr(G_host, tb=8, dtype=jnp.float32)
+    BP = jax.device_put(BP, NamedSharding(mesh, P("graph")))
+    W = jnp.asarray(
+        rng.standard_normal((f, F * nheads)).astype(np.float32) * 0.3
+    )
+    att = jnp.asarray(
+        rng.standard_normal((2 * F * nheads, 1)).astype(np.float32) * 0.3
+    )
+
+    def loss_flash(xv, Wv, av):
+        out = dist_gat_layer_halo_flash(
+            mesh, G, BP, xv, Wv, av, nheads=nheads, relu=True
+        )
+        return jnp.sum(out**2)
+
+    def loss_edge(xv, Wv, av):
+        out = dist_gat_layer_halo(
+            mesh, G, xv, Wv, av, nheads=nheads, relu=True
+        )
+        return jnp.sum(out**2)
+
+    gf = jax.grad(loss_flash, argnums=(0, 1, 2))(X_d, W, att)
+    ge = jax.grad(loss_edge, argnums=(0, 1, 2))(X_d, W, att)
+    # bf16 MXU matmuls inside the tile kernels vs the f32 edge path; the
+    # hand-written VJP itself is autodiff-exact (see
+    # test_flash_gat.test_halo_agg_vjp_matches_autodiff)
+    for a, b, name in zip(gf, ge, ("x", "W", "att")):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-2, atol=4e-2,
+            err_msg=f"grad mismatch for {name}",
+        )
+
+
 @pytest.mark.parametrize("n_dev", [2, 8])
 def test_halo_gat_matches_single(rng, n_dev):
     from sgracex1_tpu.ops.fused_gnn import gat_layer

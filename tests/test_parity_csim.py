@@ -64,6 +64,41 @@ def test_dataset_forward_matches_scipy(name):
 
 
 @needs_reference
+def test_pubmed_forward_matches_scipy():
+    """Pubmed — the largest vendored adjacency (N=19717, nnz=108365).
+    The reference's own pubmed descriptor points at cora feature paths
+    (main_float.cpp:66-75), so features are synthesized at the descriptor's
+    dims; the adjacency and weights are the real vendored files."""
+    adj, fea, w = io.load_reference_dataset("pubmed")
+    X = np.asarray(fea.to_dense())
+    out = np.asarray(gnn_layer(adj, X, w.astype(np.float32), relu=False))
+    expect = adj.to_scipy() @ (fea.to_scipy() @ w)
+    np.testing.assert_allclose(out, expect, atol=2e-3, rtol=2e-3)
+
+
+@needs_reference
+@pytest.mark.parametrize("name", ["cora", "citeseer", "pubmed"])
+def test_two_layer_forward_matches_scipy(name):
+    """2-layer forward with the vendored second-layer weights
+    ({name}_weights2.txt, the reference's per-dataset weights2 buffers):
+    D2 = A @ (ReLU(A @ (X @ W1)) @ W2) — each layer one accelerator call
+    (layer 1 relu=1, layer 2 relu=0, the reference's per-layer execution
+    modes, demo_sgrace.py:271-399)."""
+    adj, fea, w1 = io.load_reference_dataset(name)
+    w2 = io.load_dense_text(
+        os.path.join(io.reference_data_dir(), f"{name}_weights2.txt")
+    ).astype(np.float32)
+    assert w2.shape[0] == w1.shape[1], (w1.shape, w2.shape)
+    X = np.asarray(fea.to_dense())
+    h1 = np.asarray(gnn_layer(adj, X, w1.astype(np.float32), relu=True))
+    out = np.asarray(gnn_layer(adj, h1, w2, relu=False))
+    A_sp = adj.to_scipy()
+    h1_sp = np.maximum(A_sp @ (fea.to_scipy() @ w1), 0.0)
+    expect = A_sp @ (h1_sp @ w2)
+    np.testing.assert_allclose(out, expect, atol=2e-3, rtol=2e-3)
+
+
+@needs_reference
 def test_sparse_feature_path_equals_dense(rng):
     """gemm_mode 0 (sparse features) and 1 (dense features) agree."""
     adj, fea, w = io.load_reference_dataset("mol")
