@@ -234,7 +234,7 @@ class GATConv(nn.Module, _AmaxMixin):
         # the per-edge path)
         use_flash = (
             isinstance(A, PreparedAdjacency)
-            and A.bsr is not None
+            and A.flash_tiles is not None
             and not return_attention
         )
         outs, e_heads, s_heads = [], [], []
@@ -248,7 +248,7 @@ class GATConv(nn.Module, _AmaxMixin):
                 # through the MXU; no per-edge gather in the training step
                 outs.append(
                     gat_attention_agg_fused(
-                        A.bsr, s1, s2, Wh_heads[:, h, :], self.alpha
+                        A.flash_tiles, s1, s2, Wh_heads[:, h, :], self.alpha
                     )
                 )
                 continue

@@ -57,9 +57,16 @@ class BSRMatrix:
 
 
 def bsr_from_sparse(
-    A: SparseMatrix, *, tb: int = 256, dtype=jnp.bfloat16
+    A: SparseMatrix, *, tb: int = 256, dtype=jnp.bfloat16,
+    cover_rows: bool = False,
 ) -> BSRMatrix:
-    """Host-side build: densify each nonempty (rb, cb) tile."""
+    """Host-side build: densify each nonempty (rb, cb) tile.
+
+    ``cover_rows`` adds an explicit zero tile at (rb, 0) for every row block
+    with no nonzeros — required when the Pallas kernel is the consumer and
+    the tile set covers only part of the matrix (e.g. the hybrid backend's
+    dense-tile subset): unvisited output blocks are never written.
+    """
     r = np.asarray(A.rows[: A.nnz])
     c = np.asarray(A.cols[: A.nnz])
     v = np.asarray(A.vals[: A.nnz], dtype=np.float32)
@@ -74,8 +81,30 @@ def bsr_from_sparse(
     if len(uniq) == 0:
         tile_rb = np.zeros(1, np.int32)
         tile_cb = np.zeros(1, np.int32)
+    if cover_rows:
+        n_rt = _round_up(A.n_rows, tb) // tb
+        missing = np.setdiff1d(
+            np.arange(n_rt, dtype=np.int32), tile_rb
+        )
+        if len(missing):
+            tile_rb = np.concatenate([tile_rb, missing])
+            tile_cb = np.concatenate(
+                [tile_cb, np.zeros_like(missing)]
+            )
+            tiles = np.concatenate(
+                [tiles, np.zeros((len(missing), tb, tb), np.float32)]
+            )
+            order = np.lexsort((tile_cb, tile_rb))
+            tile_rb, tile_cb, tiles = (
+                tile_rb[order], tile_cb[order], tiles[order]
+            )
+    from sgracex1_tpu.utils.transfer import chunked_device_put
+
+    # cast on the HOST (ml_dtypes handles bf16/int8 numpy arrays): shipping
+    # f32 tiles and casting on device would double the relay transfer and
+    # exceed the single-request size cap at large-graph tile counts
     return BSRMatrix(
-        tiles=jnp.asarray(tiles).astype(dtype),
+        tiles=chunked_device_put(tiles.astype(jnp.dtype(dtype))),
         tile_rb=jnp.asarray(tile_rb),
         tile_cb=jnp.asarray(tile_cb),
         n_rows=A.n_rows,

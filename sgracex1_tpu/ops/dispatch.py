@@ -14,6 +14,12 @@ instead of synthesis time:
   first); ~3x fewer FLOPs/bytes than dense on the reference datasets.
 - 'pallas': the tiled one-hot double-matmul kernel (ops/pallas_spmm.py) for
   large graphs without tile structure.
+- 'hybrid': per-tile split — tiles dense enough that one MXU tile-matmul
+  beats per-edge gather run on the BSR kernel, the sparse remainder runs on
+  the XLA edge path. The winning strategy for power-law graphs, whose hub
+  rows/columns form dense stripes while tail-tail edges are uniformly
+  scattered (degree skew is SURVEY §7 hard part 4; the reference's
+  SPMM_BLOCK row grouping is the same adapt-layout-to-skew idea).
 - 'xla': gather + segment_sum (ops/spmm.py) — fallback, always correct,
   differentiates natively.
 
@@ -63,11 +69,25 @@ class PreparedAdjacency:
     plan_t: Optional[SpMMPlan]
     bsr: Optional[BSRMatrix] = None
     bsr_t: Optional[BSRMatrix] = None
+    # hybrid backend: edges NOT covered by the dense tiles (and the mask
+    # tiles GATConv's flash path reads — always the FULL adjacency)
+    rest: Optional[SparseMatrix] = None
+    gat_bsr: Optional[BSRMatrix] = None
     kind: str = dataclasses.field(default="xla", metadata=dict(static=True))
 
     @property
     def n_rows(self) -> int:
         return self.A.n_rows
+
+    @property
+    def flash_tiles(self) -> Optional[BSRMatrix]:
+        """Full-adjacency BSR tiles for the flash-GAT kernel: the dedicated
+        mask tiles if attached (for_gat=True), else the value tiles when the
+        aggregation backend already holds the whole adjacency densified.
+        The hybrid backend's partial ``bsr`` is NOT a valid flash mask."""
+        if self.gat_bsr is not None:
+            return self.gat_bsr
+        return self.bsr if self.kind == "bsr" else None
 
     def with_vals(self, vals: jax.Array) -> "SparseMatrix":
         """Edge-value substitution (attention weights) — returns the COO
@@ -80,36 +100,83 @@ class PreparedAdjacency:
 _HBM_BPS = 800e9
 _STEP_S = 0.7e-6
 _PALLAS_GROUP_S = 7e-6  # one-hot kernel, be=1024 (measured pubmed/citeseer)
+_XLA_EDGE_S = 12e-9  # gather + segment-sum per edge (measured, P=128)
 
 
-def _estimate_backend_costs(A: SparseMatrix, dense_dtype, tbs=(128, 256, 512)):
+def _tile_cost_s(tb: int, itemsize: int) -> float:
+    """Seconds to process one dense BSR tile: tile bytes + H-block bytes
+    over HBM bandwidth, plus the per-grid-step overhead."""
+    return (tb * tb * itemsize + tb * 128 * 2 * 2) / _HBM_BPS + _STEP_S
+
+
+def _estimate_backend_costs(
+    A: SparseMatrix, dense_dtype, tbs=(128, 256, 512, 1024)
+):
     """Rough per-aggregation seconds for each backend — calibrated against
     measured sweeps (citeseer: dense 19us > bsr; pubmed RCM: bsr512 0.58ms
-    < pallas 0.75ms < dense 1.04ms). Lane width 128 is the padded P."""
+    < pallas 0.75ms < dense 1.04ms). Lane width 128 is the padded P.
+
+    Returns (costs dict, best bsr tile size, best (tile size, nnz threshold)
+    for the hybrid split)."""
     itemsize = jnp.dtype(dense_dtype).itemsize
     n = max(A.n_rows, A.n_cols)
     r = np.asarray(A.rows[: A.nnz])
     c = np.asarray(A.cols[: A.nnz])
-    costs = {"dense": n * n * itemsize / _HBM_BPS + _STEP_S}
+    costs = {
+        "dense": n * n * itemsize / _HBM_BPS + _STEP_S,
+        "xla": A.nnz * _XLA_EDGE_S + _STEP_S,
+    }
     best_tb, best_t = None, np.inf
+    best_hy, best_hy_t = None, np.inf
     for tb in tbs:
-        n_tiles = max(
-            len(np.unique((r // tb).astype(np.int64) * (1 << 32) + c // tb)), 1
+        _, counts = np.unique(
+            (r // tb).astype(np.int64) * (1 << 32) + c // tb,
+            return_counts=True,
         )
-        t = (
-            n_tiles * (tb * tb * itemsize + tb * 128 * 2) / _HBM_BPS
-            + n_tiles * _STEP_S
-        )
+        if len(counts) == 0:
+            counts = np.ones(1, np.int64)
+        tc = _tile_cost_s(tb, itemsize)
+        t = len(counts) * tc
         if t < best_t:
             best_tb, best_t = tb, t
+        # hybrid: a tile goes dense iff one tile-matmul beats its edges on
+        # the gather path; the remainder pays the per-edge cost
+        thresh = int(np.ceil(tc / _XLA_EDGE_S))
+        dense_tiles = counts >= thresh
+        t_hy = (
+            int(dense_tiles.sum()) * tc
+            + int(counts[~dense_tiles].sum()) * _XLA_EDGE_S
+            + _STEP_S
+        )
+        if t_hy < best_hy_t:
+            best_hy, best_hy_t = (tb, thresh), t_hy
     costs["bsr"] = best_t
+    costs["hybrid"] = best_hy_t
     # one-hot kernel: groups = tiles' edges padded to be=1024 slots
     rb_, cb_ = 1024, 1024
     keys = (r // rb_).astype(np.int64) * (1 << 32) + c // cb_
     _, counts = np.unique(keys, return_counts=True)
     n_groups = int(np.sum(-(-counts // 1024))) if len(counts) else 1
     costs["pallas"] = n_groups * _PALLAS_GROUP_S
-    return costs, best_tb
+    return costs, best_tb, best_hy
+
+
+def split_by_tile_density(
+    A: SparseMatrix, tb: int, thresh: int
+) -> tuple[SparseMatrix, SparseMatrix]:
+    """Split edges into (dense-tile population, remainder): an edge is
+    'dense' when its (row//tb, col//tb) tile holds >= thresh edges."""
+    r = np.asarray(A.rows[: A.nnz])
+    c = np.asarray(A.cols[: A.nnz])
+    v = np.asarray(A.vals[: A.nnz])
+    key = (r // tb).astype(np.int64) * (1 << 32) + c // tb
+    _, inv, counts = np.unique(key, return_inverse=True, return_counts=True)
+    m = counts[inv] >= thresh if len(counts) else np.zeros(0, bool)
+    shape = (A.n_rows, A.n_cols)
+    return (
+        SparseMatrix.from_coo(r[m], c[m], v[m], shape),
+        SparseMatrix.from_coo(r[~m], c[~m], v[~m], shape),
+    )
 
 
 def prepare_adjacency(
@@ -137,27 +204,59 @@ def prepare_adjacency(
     aggregation runs.
     """
     n = max(A.n_rows, A.n_cols)
-    if method == "auto":
-        costs, best_tb = _estimate_backend_costs(A, dense_dtype)
-        if n * n * jnp.dtype(dense_dtype).itemsize > dense_max_bytes:
-            costs.pop("dense")
-        method = min(costs, key=costs.get)
-        if method == "bsr" and tb is None:
-            tb = best_tb
+    hybrid_split = None
+    if method in ("auto", "hybrid"):
+        costs, best_tb, best_hy = _estimate_backend_costs(A, dense_dtype)
+        if method == "hybrid":
+            hybrid_split = best_hy
+        else:
+            if n * n * jnp.dtype(dense_dtype).itemsize > dense_max_bytes:
+                costs.pop("dense")
+            method = min(costs, key=costs.get)
+            if method == "bsr" and tb is None:
+                tb = best_tb
+            if method == "hybrid":
+                hybrid_split = best_hy
     if tb is None:
         tb = 256
 
     def _finish(prep: PreparedAdjacency) -> PreparedAdjacency:
-        if for_gat and prep.bsr is None:
+        if for_gat and prep.flash_tiles is None:
             from sgracex1_tpu.ops.bsr import bsr_mask_from_sparse
 
             gat_tb = 256 if n <= 8192 else 512  # measured flash sweet spots
             return dataclasses.replace(
                 prep,
-                bsr=jax.device_put(bsr_mask_from_sparse(A, tb=gat_tb)),
+                gat_bsr=jax.device_put(bsr_mask_from_sparse(A, tb=gat_tb)),
             )
         return prep
 
+    if method == "hybrid":
+        h_tb, h_thresh = hybrid_split or (
+            tb,
+            int(np.ceil(_tile_cost_s(tb, jnp.dtype(dense_dtype).itemsize)
+                        / _XLA_EDGE_S)),
+        )
+        part, rest = split_by_tile_density(A, h_tb, h_thresh)
+        return _finish(PreparedAdjacency(
+            A=A,
+            dense=None,
+            plan=None,
+            plan_t=None,
+            bsr=jax.device_put(
+                bsr_from_sparse(
+                    part, tb=h_tb, dtype=dense_dtype, cover_rows=True
+                )
+            ),
+            bsr_t=jax.device_put(
+                bsr_from_sparse(
+                    part.transpose(), tb=h_tb, dtype=dense_dtype,
+                    cover_rows=True,
+                )
+            ),
+            rest=jax.device_put(rest) if rest.nnz else None,
+            kind="hybrid",
+        ))
     if method == "bsr":
         return _finish(PreparedAdjacency(
             A=A,
@@ -217,6 +316,11 @@ def agg_matmul(prep: PreparedAdjacency, H: jax.Array) -> jax.Array:
         return _pallas_agg(prep.plan, prep.plan_t, H).astype(H.dtype)
     if prep.kind == "bsr":
         return _bsr_agg(prep.bsr, prep.bsr_t, H).astype(H.dtype)
+    if prep.kind == "hybrid":
+        out = _bsr_agg(prep.bsr, prep.bsr_t, H)
+        if prep.rest is not None:
+            out = out + spmm(prep.rest, H).astype(out.dtype)
+        return out.astype(H.dtype)
     return spmm(prep.A, H)
 
 
@@ -334,6 +438,10 @@ def map_adjacency_vals(prep: PreparedAdjacency, fn) -> PreparedAdjacency:
         if prep.bsr_t is not None
         else None
     )
+    rest = prep.rest.with_vals(fn(prep.rest.vals)) if prep.rest is not None else None
+    # gat_bsr holds 0/1 MASK tiles: any 0 -> 0 quantizer leaves the mask
+    # semantics (tile > 0) unchanged, so it is deliberately not remapped
     return dataclasses.replace(
-        prep, A=A, dense=dense, plan=plan, plan_t=plan_t, bsr=bsr, bsr_t=bsr_t
+        prep, A=A, dense=dense, plan=plan, plan_t=plan_t, bsr=bsr,
+        bsr_t=bsr_t, rest=rest,
     )

@@ -75,7 +75,9 @@ def test_auto_prefers_bsr_for_banded(rng):
         np.ones(len(rows), np.float32), (n, n),
     )
     prep = prepare_adjacency(A, method="auto")
-    assert prep.kind == "bsr", prep.kind
+    # hybrid = bsr tiles + edge-path remainder; either keeps the band on
+    # the MXU tile kernel, which is the property this test pins
+    assert prep.kind in ("bsr", "hybrid"), prep.kind
 
 
 def test_bsr_training_step(rng):

@@ -113,10 +113,11 @@ def test_auto_cost_model_beyond_dense_budget(rng):
     A, _ = _graph(rng, n=2048, density=0.002)
     # force the dense budget below this graph's dense bytes (2048^2 * 2)
     prep = prepare_adjacency(A, method="auto", dense_max_bytes=1 << 20)
-    assert prep.kind in ("bsr", "pallas")
-    costs, best_tb = _estimate_backend_costs(A, jnp.bfloat16)
-    assert set(costs) == {"dense", "bsr", "pallas"}
-    assert best_tb in (128, 256, 512)
+    assert prep.kind in ("bsr", "pallas", "hybrid", "xla")
+    costs, best_tb, best_hy = _estimate_backend_costs(A, jnp.bfloat16)
+    assert set(costs) == {"dense", "bsr", "pallas", "hybrid", "xla"}
+    assert best_tb in (128, 256, 512, 1024)
+    assert best_hy[0] in (128, 256, 512, 1024) and best_hy[1] >= 1
     assert all(v > 0 for v in costs.values())
 
 
@@ -127,3 +128,81 @@ def test_bsr_tb_override(rng):
     H = jnp.asarray(rng.standard_normal((A.n_cols, 32)).astype(np.float32))
     out = np.asarray(agg_matmul(prep, H))
     np.testing.assert_allclose(out, mat @ H, rtol=5e-2, atol=5e-2)
+
+
+def _hub_graph(rng, n=2048, hub=128, tail_density=0.0002):
+    """Power-law-shaped adjacency: a dense hub block + a scattered tail —
+    the tile-density structure the hybrid backend targets."""
+    mat = sp.random(
+        n, n, density=tail_density, format="lil", random_state=7
+    ).astype(np.float32)
+    # small values keep bf16 tile-matmul rounding within test tolerances
+    mat[:hub, :hub] = (rng.random((hub, hub)).astype(np.float32) + 0.1) * 0.05
+    mat = mat.tocsr()
+    return SparseMatrix.from_scipy(mat), mat
+
+
+def test_split_by_tile_density_partitions_edges(rng):
+    from sgracex1_tpu.ops.dispatch import split_by_tile_density
+
+    A, mat = _hub_graph(rng)
+    part, rest = split_by_tile_density(A, tb=128, thresh=64)
+    assert part.nnz + rest.nnz == A.nnz
+    assert part.nnz > 0 and rest.nnz > 0  # the hub graph exercises both
+    dense = np.zeros((A.n_rows, A.n_cols), np.float32)
+    for m in (part, rest):
+        r = np.asarray(m.rows[: m.nnz])
+        c = np.asarray(m.cols[: m.nnz])
+        v = np.asarray(m.vals[: m.nnz])
+        dense[r, c] += v
+    np.testing.assert_allclose(dense, mat.toarray(), rtol=1e-6, atol=1e-6)
+
+
+def test_hybrid_agg_parity(rng):
+    A, mat = _hub_graph(rng)
+    prep = prepare_adjacency(A, method="hybrid")
+    assert prep.kind == "hybrid"
+    assert prep.rest is not None  # the tail must actually hit the edge path
+    H = rng.standard_normal((A.n_cols, 128)).astype(np.float32)
+    out = np.asarray(agg_matmul(prep, jnp.asarray(H)))
+    np.testing.assert_allclose(out, mat @ H, rtol=5e-2, atol=5e-2)
+
+
+def test_hybrid_backward_matches_transpose(rng):
+    A, mat = _hub_graph(rng)
+    prep = prepare_adjacency(A, method="hybrid")
+    H = jnp.asarray(rng.standard_normal((A.n_cols, 128)).astype(np.float32))
+    v = rng.standard_normal((A.n_rows, 128)).astype(np.float32)
+    g = jax.grad(lambda h: jnp.vdot(agg_matmul(prep, h), v))(H)
+    np.testing.assert_allclose(np.asarray(g), mat.T @ v, rtol=5e-2, atol=5e-2)
+
+
+def test_hybrid_under_jit_as_argument(rng):
+    A, mat = _hub_graph(rng)
+    prep = prepare_adjacency(A, method="hybrid")
+    H = jnp.asarray(rng.standard_normal((A.n_cols, 32)).astype(np.float32))
+    out = np.asarray(jax.jit(agg_matmul)(prep, H))
+    np.testing.assert_allclose(out, mat @ H, rtol=5e-2, atol=5e-2)
+
+
+def test_auto_picks_hybrid_on_hub_tail_structure(rng):
+    """On a graph whose edges split into a few dense tiles plus a scattered
+    tail, the cost model must rank hybrid ahead of pure bsr and xla."""
+    from sgracex1_tpu.ops.dispatch import _estimate_backend_costs
+
+    A, _ = _hub_graph(rng, n=4096, hub=256, tail_density=0.0001)
+    costs, _, _ = _estimate_backend_costs(A, jnp.bfloat16)
+    assert costs["hybrid"] < costs["bsr"]
+    assert costs["hybrid"] < costs["xla"]
+
+
+def test_for_gat_attaches_full_mask_on_hybrid(rng):
+    """flash_tiles must always cover the FULL adjacency — the hybrid
+    backend's partial value tiles are not a valid attention mask."""
+    A, _ = _hub_graph(rng)
+    prep = prepare_adjacency(A, method="hybrid", for_gat=True)
+    assert prep.gat_bsr is not None
+    assert prep.flash_tiles is prep.gat_bsr
+    # every edge present in the mask tiles
+    nnz_mask = int(jnp.sum(prep.gat_bsr.tiles > 0))
+    assert nnz_mask == A.nnz
