@@ -18,6 +18,7 @@ import numpy as np
 
 from benchmarks.common import timed_loop, load, header
 from sgracex1_tpu.graph.reorder import rcm_order, permute_graph
+from sgracex1_tpu.utils.roofline import cost_flash_gat
 from sgracex1_tpu.ops.bsr import bsr_from_sparse
 from sgracex1_tpu.ops.flash_gat import (
     flash_gat_forward,
@@ -49,9 +50,10 @@ def bench_dataset(name: str, F: int = 32):
     for tb in (128, 256, 512):
         B = jax.device_put(bsr_from_sparse(adj_p, tb=tb, dtype=jnp.float32))
         sec = timed_loop(step_flash, Wh, consts=(B, s1, s2), iters=1000)
+        rl = cost_flash_gat(B, F).fmt(sec)
         print(
             f"  flash tb={tb:3d}: {sec * 1e3:8.4f} ms  "
-            f"{adj.nnz / sec / 1e6:7.0f} M edges/s"
+            f"{adj.nnz / sec / 1e6:7.0f} M edges/s   {rl}"
         )
     sec = timed_loop(step_edge, Wh, consts=(A_dev, s1, s2), iters=300)
     print(

@@ -15,9 +15,10 @@ import numpy as np
 
 from benchmarks.common import timed_loop, load, header
 from sgracex1_tpu.ops.dispatch import prepare_adjacency, agg_matmul
+from sgracex1_tpu.utils.roofline import cost_for_prep
 
 
-def bench_dataset(name: str, methods=("dense", "pallas", "xla")):
+def bench_dataset(name: str, methods=("dense", "bsr", "pallas", "xla")):
     adj, X, W = load(name)
     H = jax.device_put((X @ W).astype(jnp.bfloat16))
     print(
@@ -34,8 +35,13 @@ def bench_dataset(name: str, methods=("dense", "pallas", "xla")):
 
             sec = timed_loop(step, H, consts=(prep,), iters=1000)
             eps = adj.nnz / sec
+            # roofline attribution — the reference decodes FIFO stall
+            # counters into "frontend fast/slow" (mmult-master cells 39-40);
+            # we report achieved bytes/FLOPs vs chip peaks instead
+            rl = cost_for_prep(prep, W.shape[1]).fmt(sec)
             print(
-                f"  {method:7s} {sec * 1e3:8.4f} ms   {eps / 1e9:8.2f} B edges/s"
+                f"  {method:7s} {sec * 1e3:8.4f} ms "
+                f"{eps / 1e9:8.2f} B edges/s   {rl}"
             )
         except Exception as e:  # noqa: BLE001 — report and continue the sweep
             print(f"  {method:7s} FAILED: {type(e).__name__}: {e}")

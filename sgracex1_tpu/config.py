@@ -57,15 +57,23 @@ class SGRACEConfig:
     # --- training loop ---
     learning_rate: Optional[float] = None  # None => reference's qbits rule
     num_epochs: int = 100
+    # Checkpoint path to preload before training (the reference's .ptx
+    # preload flow, demo_sgrace.py:42,422-435): fine-tune a pretrained
+    # model at a very low learning rate.
+    preload: Optional[str] = None
 
     # --- observability (reference: profiling flag + max_fea telemetry) ---
     profiling: bool = False
     track_amax: bool = True  # activation-range telemetry for calibration
 
     def resolved_learning_rate(self) -> float:
-        """Reference's qbits-dependent LR rule (demo_sgrace.py:433-443)."""
+        """Reference's qbits-dependent LR rule (demo_sgrace.py:433-443):
+        preload fine-tuning => 1e-4 ("very low"), 8/4-bit => 0.01,
+        2/1-bit => 0.1."""
         if self.learning_rate is not None:
             return self.learning_rate
+        if self.preload is not None:
+            return 0.0001
         return 0.01 if self.w_qbits > 2 else 0.1
 
     def replace(self, **kw) -> "SGRACEConfig":

@@ -237,29 +237,31 @@ class GATConv(nn.Module, _AmaxMixin):
             and A.flash_tiles is not None
             and not return_attention
         )
-        outs, e_heads, s_heads = [], [], []
-        for h in range(H):
-            s1 = jnp.dot(Wh_sg[:, h, :], a_src[h],
-                         preferred_element_type=jnp.float32)
-            s2 = jnp.dot(Wh_sg[:, h, :], a_dst[h],
-                         preferred_element_type=jnp.float32)
-            if use_flash:
-                # fully fused fwd+bwd: both directions stream BSR tiles
-                # through the MXU; no per-edge gather in the training step
-                outs.append(
-                    gat_attention_agg_fused(
-                        A.flash_tiles, s1, s2, Wh_heads[:, h, :], self.alpha
-                    )
+        if use_flash:
+            # fully fused fwd+bwd, ALL heads in one kernel per pass: both
+            # directions stream BSR tiles through the MXU; no per-edge
+            # gather in the training step
+            S1 = jnp.einsum("nhf,hf->nh", Wh_sg, a_src)  # [N, H]
+            S2 = jnp.einsum("nhf,hf->nh", Wh_sg, a_dst)
+            out = gat_attention_agg_fused(
+                A.flash_tiles, S1, S2, Wh_heads, self.alpha
+            ).reshape(-1, F * H)
+        else:
+            outs, e_heads, s_heads = [], [], []
+            for h in range(H):
+                s1 = jnp.dot(Wh_sg[:, h, :], a_src[h],
+                             preferred_element_type=jnp.float32)
+                s2 = jnp.dot(Wh_sg[:, h, :], a_dst[h],
+                             preferred_element_type=jnp.float32)
+                e = leaky_relu(
+                    jnp.take(s1, A_e.rows) + jnp.take(s2, A_e.cols),
+                    self.alpha,
                 )
-                continue
-            e = leaky_relu(
-                jnp.take(s1, A_e.rows) + jnp.take(s2, A_e.cols), self.alpha
-            )
-            s = edge_softmax(A_e, e)
-            e_heads.append(e)
-            s_heads.append(s)
-            outs.append(_agg_vals(A, s, Wh_heads[:, h, :]))
-        out = jnp.concatenate(outs, axis=-1)  # [N, F*H]
+                s = edge_softmax(A_e, e)
+                e_heads.append(e)
+                s_heads.append(s)
+                outs.append(_agg_vals(A, s, Wh_heads[:, h, :]))
+            out = jnp.concatenate(outs, axis=-1)  # [N, F*H]
 
         if relu:
             out = relu_hw(out)

@@ -18,6 +18,18 @@ i.e. the *graph* version of flash attention: the adjacency's BSR tiles are
 the attention mask, so compute is O(nonempty tiles), not O(N^2), and the
 row softmax never materializes per-edge score vectors.
 
+Multi-head batching: every kernel takes a head dimension in its grid
+(``grid = (H, num_tiles)``, tiles innermost so the online-softmax streaming
+order per head is unchanged) — ONE compiled kernel serves all H heads, and
+the adjacency tiles / scalar-prefetch index maps are shared across heads.
+Head-dependent operands are laid out head-major 3-D (``[H, N_pad, 1]``
+scores/stats, ``[H, N_pad, F]`` features) so every block's trailing two
+dims are (tb, full-dim) — the Mosaic lowering constraint. Public entry
+points are shape-polymorphic: 1-D ``s1``/``s2`` + 2-D ``Wh`` is the legacy
+single-head call; head-LAST ``[N, H]`` scores + ``[N, H, F]`` features run
+H heads batched (the reference's head_count, sgrace.py:1176-1179, which
+its own config declares unused — we implement it for real).
+
 Backward comes in two flavors:
 
 - ``gat_attention_agg`` (edge backward): the reference's softmax-Jacobian
@@ -54,6 +66,24 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def _norm_heads(s1, s2, Wh):
+    """Normalize (s1, s2, Wh) to the head-last multi-head layout.
+
+    Returns (s1 [N1, H], s2 [N2, H], Wh [Nw, H, F], squeeze) where
+    ``squeeze`` marks the legacy single-head call (1-D scores)."""
+    if s1.ndim == 1:
+        return s1[:, None], s2[:, None], Wh[:, None, :], True
+    return s1, s2, Wh, False
+
+
+def _hmaj(x):
+    """Head-last [N, H] / [N, H, F] -> head-major [H, N, 1] / [H, N, F]
+    (the 3-D layout whose (1, tb, last) blocks Mosaic accepts)."""
+    if x.ndim == 2:
+        return x.T[:, :, None]
+    return jnp.transpose(x, (1, 0, 2))
+
+
 def _tile_mask(a_ref, tb: int):
     """Adjacency tile -> bool mask; handles f32/int8 value tiles and
     1-bit packed tiles (detected by the narrow last dim)."""
@@ -68,8 +98,11 @@ def _flash_gat_kernel(
     tile_rb, tile_cb, a_ref, s1_ref, s2_ref, wh_ref, out_ref,
     m_ref, l_ref, acc_ref, *, alpha: float, m_out=None, l_out=None,
 ):
-    g = pl.program_id(0)
-    ng = pl.num_programs(0)
+    # grid = (H, num_tiles): dim 0 is the head, dim 1 streams tiles; the
+    # scratch accumulators reset at every row-block start, so head
+    # transitions (which restart at g == 0) need no special handling
+    g = pl.program_id(1)
+    ng = pl.num_programs(1)
     first = jnp.logical_or(g == 0, tile_rb[g] != tile_rb[jnp.maximum(g - 1, 0)])
     last = jnp.logical_or(
         g == ng - 1, tile_rb[jnp.minimum(g + 1, ng - 1)] != tile_rb[g]
@@ -81,8 +114,9 @@ def _flash_gat_kernel(
         l_ref[:] = jnp.zeros_like(l_ref)
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    mask = _tile_mask(a_ref, s1_ref.shape[0])  # [tb, tb]
-    e = s1_ref[:] + s2_ref[:].reshape(1, -1)  # [tb, 1] + [1, tb]
+    tb = s1_ref.shape[1]
+    mask = _tile_mask(a_ref, tb)  # [tb, tb]
+    e = s1_ref[0] + s2_ref[0].reshape(1, -1)  # [tb, 1] + [1, tb]
     e = jnp.where(e > 0, e, alpha * e)
     e = jnp.where(mask, e, _NEG_INF)
 
@@ -93,17 +127,17 @@ def _flash_gat_kernel(
     l_ref[:] = l_ref[:] * corr + jnp.sum(p, axis=1, keepdims=True)
     acc_ref[:] = acc_ref[:] * corr + jnp.dot(
         p.astype(jnp.bfloat16),
-        wh_ref[:].astype(jnp.bfloat16),
+        wh_ref[0].astype(jnp.bfloat16),
         preferred_element_type=jnp.float32,
     )
     m_ref[:] = m_new
 
     @pl.when(last)
     def _():
-        out_ref[:] = acc_ref[:] / jnp.maximum(l_ref[:], 1e-30)
+        out_ref[0] = acc_ref[:] / jnp.maximum(l_ref[:], 1e-30)
         if m_out is not None:
-            m_out[:] = m_ref[:]
-            l_out[:] = l_ref[:]
+            m_out[0] = m_ref[:]
+            l_out[0] = l_ref[:]
 
 
 def _flash_gat_kernel_stats(
@@ -129,39 +163,41 @@ def flash_gat_forward(
     """out[r] = sum_c softmax_c(LeakyReLU(s1[r]+s2[c]) | A[r,c]>0) * Wh[c].
 
     B holds the adjacency values (mask via > 0); s1/s2 are the per-node
-    attention halves (Wh @ a_src / Wh @ a_dst); Wh: [N, F].
+    attention halves (Wh @ a_src / Wh @ a_dst): 1-D ``[N]`` (single head)
+    or 2-D ``[N, H]``; Wh: ``[N, F]`` or ``[N, H, F]``. All H heads run in
+    ONE kernel (head = leading grid dim). Output ``[N, F]`` / ``[N, H, F]``.
 
     With ``return_stats`` also returns the per-row softmax stats
-    ``(m, l)`` (running max / denominator, shape [n_rt*tb, 1]) that the
+    ``(m, l)`` (running max / denominator, shape [n_rt*tb, H]) that the
     fused backward needs to recompute tile probabilities locally.
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    s1, s2, Wh, squeeze = _norm_heads(s1, s2, Wh)
+    H = s1.shape[1]
     tb = B.tb
     n_rt = B.n_row_tiles
     n_ct = _round_up(B.n_cols, tb) // tb
-    F = Wh.shape[1]
+    F = Wh.shape[-1]
     if Wh.shape[0] != n_ct * tb:
-        Wh = jnp.pad(Wh, ((0, n_ct * tb - Wh.shape[0]), (0, 0)))
-    s1 = s1.reshape(-1, 1)
-    s2 = s2.reshape(-1, 1)
+        Wh = jnp.pad(Wh, ((0, n_ct * tb - Wh.shape[0]), (0, 0), (0, 0)))
     if s1.shape[0] != n_rt * tb:
         s1 = jnp.pad(s1, ((0, n_rt * tb - s1.shape[0]), (0, 0)))
     if s2.shape[0] != n_ct * tb:
         s2 = jnp.pad(s2, ((0, n_ct * tb - s2.shape[0]), (0, 0)))
 
-    out_spec = pl.BlockSpec((tb, F), lambda g, rbs, cbs: (rbs[g], 0))
-    stat_spec = pl.BlockSpec((tb, 1), lambda g, rbs, cbs: (rbs[g], 0))
+    out_spec = pl.BlockSpec((1, tb, F), lambda h, g, rbs, cbs: (h, rbs[g], 0))
+    stat_spec = pl.BlockSpec((1, tb, 1), lambda h, g, rbs, cbs: (h, rbs[g], 0))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(B.num_tiles,),
+        grid=(H, B.num_tiles),
         in_specs=[
             pl.BlockSpec(
-                (1, tb, B.tiles.shape[-1]), lambda g, rbs, cbs: (g, 0, 0)
+                (1, tb, B.tiles.shape[-1]), lambda h, g, rbs, cbs: (g, 0, 0)
             ),
-            pl.BlockSpec((tb, 1), lambda g, rbs, cbs: (rbs[g], 0)),
-            pl.BlockSpec((tb, 1), lambda g, rbs, cbs: (cbs[g], 0)),
-            pl.BlockSpec((tb, F), lambda g, rbs, cbs: (cbs[g], 0)),
+            pl.BlockSpec((1, tb, 1), lambda h, g, rbs, cbs: (h, rbs[g], 0)),
+            pl.BlockSpec((1, tb, 1), lambda h, g, rbs, cbs: (h, cbs[g], 0)),
+            pl.BlockSpec((1, tb, F), lambda h, g, rbs, cbs: (h, cbs[g], 0)),
         ],
         out_specs=[out_spec, stat_spec, stat_spec] if return_stats else out_spec,
         scratch_shapes=[
@@ -170,8 +206,8 @@ def flash_gat_forward(
             pltpu.VMEM((tb, F), jnp.float32),
         ],
     )
-    out_shape = jax.ShapeDtypeStruct((n_rt * tb, F), jnp.float32)
-    stat_shape = jax.ShapeDtypeStruct((n_rt * tb, 1), jnp.float32)
+    out_shape = jax.ShapeDtypeStruct((H, n_rt * tb, F), jnp.float32)
+    stat_shape = jax.ShapeDtypeStruct((H, n_rt * tb, 1), jnp.float32)
     res = pl.pallas_call(
         partial(
             _flash_gat_kernel_stats if return_stats else _flash_gat_kernel,
@@ -183,15 +219,21 @@ def flash_gat_forward(
         else out_shape,
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
-            flops=2 * B.num_tiles * tb * tb * (F + 4),
-            bytes_accessed=B.num_tiles * (tb * tb * 2 + tb * F * 2),
-            transcendentals=B.num_tiles * tb * tb,
+            flops=2 * H * B.num_tiles * tb * tb * (F + 4),
+            bytes_accessed=H * B.num_tiles * (tb * tb * 2 + tb * F * 2),
+            transcendentals=H * B.num_tiles * tb * tb,
         ),
-    )(B.tile_rb, B.tile_cb, B.tiles, s1, s2, Wh)
+    )(B.tile_rb, B.tile_cb, B.tiles, _hmaj(s1), _hmaj(s2), _hmaj(Wh))
+
+    def shape_out(o):
+        o = jnp.transpose(o, (1, 0, 2))[: B.n_rows]  # [N, H, F]
+        return o[:, 0, :] if squeeze else o
+
     if return_stats:
         out, m, l = res
-        return out[: B.n_rows], m, l
-    return res[: B.n_rows]
+        # stats head-LAST [n_rt*tb, H] for the (halo) callers
+        return shape_out(out), m[:, :, 0].T, l[:, :, 0].T
+    return shape_out(res)
 
 
 # ---------------------------------------------------------------------------
@@ -214,7 +256,7 @@ def _edge_scores(A: SparseMatrix, s1, s2, alpha):
 
 @partial(jax.custom_vjp, nondiff_argnums=(5,))
 def gat_attention_agg(A, B, s1, s2, Wh, alpha=0.2):
-    """Differentiable fused GAT aggregation.
+    """Differentiable fused GAT aggregation (single head).
 
     A: SparseMatrix (edge list, used by the backward pass); B: BSRMatrix of
     the same adjacency (used by the flash forward). Gradients flow to s1,
@@ -262,17 +304,16 @@ gat_attention_agg.defvjp(_gat_agg_fwd, _gat_agg_bwd)
 # ---------------------------------------------------------------------------
 
 
-def _tile_probs(a_ref, s1_ref, s2_ref, m_ref, l_ref, alpha):
+def _tile_probs(a_ref, s1, s2, m, l, alpha):
     """Recompute one tile's softmax probabilities from saved (m, l) stats.
 
-    Returns (p, e_pre_pos, mask): probabilities, LeakyReLU' selector, mask.
+    s1/m/l: [tb, 1] column blocks; s2: [tb, 1] (transposed inside).
+    Returns (p, lrelu'-selector, mask).
     """
-    mask = _tile_mask(a_ref, s1_ref.shape[0])
-    e_pre = s1_ref[:] + s2_ref[:].reshape(1, -1)
+    mask = _tile_mask(a_ref, s1.shape[0])
+    e_pre = s1 + s2.reshape(1, -1)
     e = jnp.where(e_pre > 0, e_pre, alpha * e_pre)
-    p = jnp.where(mask, jnp.exp(e - m_ref[:]), 0.0) / jnp.maximum(
-        l_ref[:], 1e-30
-    )
+    p = jnp.where(mask, jnp.exp(e - m), 0.0) / jnp.maximum(l, 1e-30)
     lr = jnp.where(e_pre > 0, 1.0, alpha)
     return p, lr, mask
 
@@ -287,7 +328,7 @@ def _flash_bwd_row_kernel(
     u1[r] = sum_c p*q*lrelu'
     u2[r] = sum_c p*lrelu'    =>  ds1 = u1 - t*u2  (host-side elementwise)
     """
-    g = pl.program_id(0)
+    g = pl.program_id(1)
     first = jnp.logical_or(g == 0, tile_rb[g] != tile_rb[jnp.maximum(g - 1, 0)])
 
     @pl.when(first)
@@ -296,17 +337,19 @@ def _flash_bwd_row_kernel(
         u1_ref[:] = jnp.zeros_like(u1_ref)
         u2_ref[:] = jnp.zeros_like(u2_ref)
 
-    p, lr, _ = _tile_probs(a_ref, s1_ref, s2_ref, m_ref, l_ref, alpha)
+    p, lr, _ = _tile_probs(
+        a_ref, s1_ref[0], s2_ref[0], m_ref[0], l_ref[0], alpha
+    )
     q = jax.lax.dot_general(
-        go_ref[:].astype(jnp.bfloat16),
-        wh_ref[:].astype(jnp.bfloat16),
+        go_ref[0].astype(jnp.bfloat16),
+        wh_ref[0].astype(jnp.bfloat16),
         (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )  # [tb, tb]
     pq = p * q
-    t_ref[:] += jnp.sum(pq, axis=1, keepdims=True)
-    u1_ref[:] += jnp.sum(pq * lr, axis=1, keepdims=True)
-    u2_ref[:] += jnp.sum(p * lr, axis=1, keepdims=True)
+    t_ref[0] += jnp.sum(pq, axis=1, keepdims=True)
+    u1_ref[0] += jnp.sum(pq * lr, axis=1, keepdims=True)
+    u2_ref[0] += jnp.sum(p * lr, axis=1, keepdims=True)
 
 
 def _flash_bwd_col_kernel(
@@ -318,7 +361,7 @@ def _flash_bwd_col_kernel(
     dWh[c] = sum_r p[r,c] * gO[r]          (p^T @ gO, MXU)
     ds2[c] = sum_r dE[r,c],  dE = p*(q - t)*lrelu'
     """
-    g = pl.program_id(0)
+    g = pl.program_id(1)
     first = jnp.logical_or(g == 0, cbs_c[g] != cbs_c[jnp.maximum(g - 1, 0)])
 
     @pl.when(first)
@@ -326,35 +369,36 @@ def _flash_bwd_col_kernel(
         dwh_ref[:] = jnp.zeros_like(dwh_ref)
         ds2_ref[:] = jnp.zeros_like(ds2_ref)
 
-    p, lr, _ = _tile_probs(a_ref, s1_ref, s2_ref, m_ref, l_ref, alpha)
+    p, lr, _ = _tile_probs(
+        a_ref, s1_ref[0], s2_ref[0], m_ref[0], l_ref[0], alpha
+    )
     q = jax.lax.dot_general(
-        go_ref[:].astype(jnp.bfloat16),
-        wh_ref[:].astype(jnp.bfloat16),
+        go_ref[0].astype(jnp.bfloat16),
+        wh_ref[0].astype(jnp.bfloat16),
         (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
-    dE = p * (q - t_ref[:]) * lr  # [tb(r), tb(c)]
-    dwh_ref[:] += jax.lax.dot_general(
+    dE = p * (q - t_ref[0]) * lr  # [tb(r), tb(c)]
+    dwh_ref[0] += jax.lax.dot_general(
         p.astype(jnp.bfloat16),
-        go_ref[:].astype(jnp.bfloat16),
+        go_ref[0].astype(jnp.bfloat16),
         (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )  # [tb(c), F]
     ones = jnp.ones((dE.shape[0], 1), jnp.float32)
-    ds2_ref[:] += jax.lax.dot_general(
+    ds2_ref[0] += jax.lax.dot_general(
         dE, ones, (((0,), (0,)), ((), ()))
     )  # colsum as a matvec -> [tb(c), 1]
 
 
 def _pad_bwd_operands(B: BSRMatrix, s1, s2, Wh, g_out):
-    """Pad (s1, s2, Wh, g_out) to the tile grid the backward kernels read."""
+    """Pad head-last (s1 [*, H], s2, Wh [*, H*F], g_out) to the tile grid
+    the backward kernels read."""
     tb = B.tb
     n_rt = B.n_row_tiles
     n_ct = _round_up(B.n_cols, tb) // tb
     if Wh.shape[0] != n_ct * tb:
         Wh = jnp.pad(Wh, ((0, n_ct * tb - Wh.shape[0]), (0, 0)))
-    s1 = s1.reshape(-1, 1)
-    s2 = s2.reshape(-1, 1)
     if s1.shape[0] != n_rt * tb:
         s1 = jnp.pad(s1, ((0, n_rt * tb - s1.shape[0]), (0, 0)))
     if s2.shape[0] != n_ct * tb:
@@ -365,90 +409,116 @@ def _pad_bwd_operands(B: BSRMatrix, s1, s2, Wh, g_out):
 
 
 def _bwd_row_pass(B, s1, s2, m, l, Wh, g_out, *, alpha, interpret):
-    """Row-streaming pass over padded operands -> (t, u1, u2), each
-    [n_rt*tb, 1]. ``m``/``l`` are the (possibly externally merged) softmax
-    stats used to recompute tile probabilities."""
+    """Row-streaming pass over padded head-last operands (s1/s2/m/l
+    [*, H], Wh/g_out [*, H*F]) -> (t, u1, u2), each [n_rt*tb, H].
+    ``m``/``l`` are the (possibly externally merged) softmax stats used to
+    recompute tile probabilities."""
     tb = B.tb
     n_rt = B.n_row_tiles
-    F = Wh.shape[1]
-    stat = pl.BlockSpec((tb, 1), lambda g, rbs, cbs: (rbs[g], 0))
+    H = s1.shape[1]
+    F = Wh.shape[1] // H
+    W3 = _hmaj(Wh.reshape(-1, H, F))
+    G3 = _hmaj(g_out.reshape(-1, H, F))
+    stat = pl.BlockSpec((1, tb, 1), lambda h, g, rbs, cbs: (h, rbs[g], 0))
     row_grid = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(B.num_tiles,),
+        grid=(H, B.num_tiles),
         in_specs=[
             pl.BlockSpec(
-                (1, tb, B.tiles.shape[-1]), lambda g, rbs, cbs: (g, 0, 0)
+                (1, tb, B.tiles.shape[-1]), lambda h, g, rbs, cbs: (g, 0, 0)
             ),
-            pl.BlockSpec((tb, 1), lambda g, rbs, cbs: (rbs[g], 0)),
-            pl.BlockSpec((tb, 1), lambda g, rbs, cbs: (cbs[g], 0)),
+            pl.BlockSpec((1, tb, 1), lambda h, g, rbs, cbs: (h, rbs[g], 0)),
+            pl.BlockSpec((1, tb, 1), lambda h, g, rbs, cbs: (h, cbs[g], 0)),
             stat,
             stat,
-            pl.BlockSpec((tb, F), lambda g, rbs, cbs: (cbs[g], 0)),
-            pl.BlockSpec((tb, F), lambda g, rbs, cbs: (rbs[g], 0)),
+            pl.BlockSpec((1, tb, F), lambda h, g, rbs, cbs: (h, cbs[g], 0)),
+            pl.BlockSpec((1, tb, F), lambda h, g, rbs, cbs: (h, rbs[g], 0)),
         ],
         out_specs=[stat, stat, stat],
     )
-    stat_shape = jax.ShapeDtypeStruct((n_rt * tb, 1), jnp.float32)
-    return pl.pallas_call(
+    stat_shape = jax.ShapeDtypeStruct((H, n_rt * tb, 1), jnp.float32)
+    t, u1, u2 = pl.pallas_call(
         partial(_flash_bwd_row_kernel, alpha=alpha),
         grid_spec=row_grid,
         out_shape=[stat_shape, stat_shape, stat_shape],
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
-            flops=2 * B.num_tiles * tb * tb * (F + 4),
-            bytes_accessed=B.num_tiles * (tb * tb + 2 * tb * F * 4),
-            transcendentals=B.num_tiles * tb * tb,
+            flops=2 * H * B.num_tiles * tb * tb * (F + 4),
+            bytes_accessed=H * B.num_tiles * (tb * tb + 2 * tb * F * 4),
+            transcendentals=H * B.num_tiles * tb * tb,
         ),
-    )(B.tile_rb, B.tile_cb, B.tiles, s1, s2, m, l, Wh, g_out)
+    )(B.tile_rb, B.tile_cb, B.tiles, _hmaj(s1), _hmaj(s2), _hmaj(m),
+      _hmaj(l), W3, G3)
+    return t[:, :, 0].T, u1[:, :, 0].T, u2[:, :, 0].T
 
 
 def _bwd_col_pass(B, s1, s2, m, l, t, Wh, g_out, *, alpha, interpret):
-    """Column-streaming pass over padded operands -> (dWh, ds2), shapes
-    [n_ct*tb, F] / [n_ct*tb, 1]. ``t`` is the full row reduction
+    """Column-streaming pass over padded head-last operands -> (dWh, ds2),
+    shapes [n_ct*tb, H*F] / [n_ct*tb, H]. ``t`` is the full row reduction
     (local + any external edges) the Jacobian identity subtracts."""
     tb = B.tb
     n_ct = _round_up(B.n_cols, tb) // tb
-    F = Wh.shape[1]
+    H = s1.shape[1]
+    F = Wh.shape[1] // H
+    W3 = _hmaj(Wh.reshape(-1, H, F))
+    G3 = _hmaj(g_out.reshape(-1, H, F))
     perm = jnp.argsort(B.tile_cb)
     rbs_c = jnp.take(B.tile_rb, perm)
     cbs_c = jnp.take(B.tile_cb, perm)
 
-    rstat = pl.BlockSpec((tb, 1), lambda g, perm, rbs, cbs: (rbs[g], 0))
+    rstat = pl.BlockSpec(
+        (1, tb, 1), lambda h, g, perm, rbs, cbs: (h, rbs[g], 0)
+    )
     col_grid = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
-        grid=(B.num_tiles,),
+        grid=(H, B.num_tiles),
         in_specs=[
             pl.BlockSpec(
                 (1, tb, B.tiles.shape[-1]),
-                lambda g, perm, rbs, cbs: (perm[g], 0, 0),
+                lambda h, g, perm, rbs, cbs: (perm[g], 0, 0),
             ),
             rstat,
-            pl.BlockSpec((tb, 1), lambda g, perm, rbs, cbs: (cbs[g], 0)),
+            pl.BlockSpec(
+                (1, tb, 1), lambda h, g, perm, rbs, cbs: (h, cbs[g], 0)
+            ),
             rstat,
             rstat,
             rstat,
-            pl.BlockSpec((tb, F), lambda g, perm, rbs, cbs: (cbs[g], 0)),
-            pl.BlockSpec((tb, F), lambda g, perm, rbs, cbs: (rbs[g], 0)),
+            pl.BlockSpec(
+                (1, tb, F), lambda h, g, perm, rbs, cbs: (h, cbs[g], 0)
+            ),
+            pl.BlockSpec(
+                (1, tb, F), lambda h, g, perm, rbs, cbs: (h, rbs[g], 0)
+            ),
         ],
         out_specs=[
-            pl.BlockSpec((tb, F), lambda g, perm, rbs, cbs: (cbs[g], 0)),
-            pl.BlockSpec((tb, 1), lambda g, perm, rbs, cbs: (cbs[g], 0)),
+            pl.BlockSpec(
+                (1, tb, F), lambda h, g, perm, rbs, cbs: (h, cbs[g], 0)
+            ),
+            pl.BlockSpec(
+                (1, tb, 1), lambda h, g, perm, rbs, cbs: (h, cbs[g], 0)
+            ),
         ],
     )
-    return pl.pallas_call(
+    dWh, ds2 = pl.pallas_call(
         partial(_flash_bwd_col_kernel, alpha=alpha),
         grid_spec=col_grid,
         out_shape=[
-            jax.ShapeDtypeStruct((n_ct * tb, F), jnp.float32),
-            jax.ShapeDtypeStruct((n_ct * tb, 1), jnp.float32),
+            jax.ShapeDtypeStruct((H, n_ct * tb, F), jnp.float32),
+            jax.ShapeDtypeStruct((H, n_ct * tb, 1), jnp.float32),
         ],
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
-            flops=4 * B.num_tiles * tb * tb * (F + 2),
-            bytes_accessed=B.num_tiles * (tb * tb + 3 * tb * F * 4),
-            transcendentals=B.num_tiles * tb * tb,
+            flops=4 * H * B.num_tiles * tb * tb * (F + 2),
+            bytes_accessed=H * B.num_tiles * (tb * tb + 3 * tb * F * 4),
+            transcendentals=H * B.num_tiles * tb * tb,
         ),
-    )(perm, rbs_c, cbs_c, B.tiles, s1, s2, m, l, t, Wh, g_out)
+    )(perm, rbs_c, cbs_c, B.tiles, _hmaj(s1), _hmaj(s2), _hmaj(m),
+      _hmaj(l), _hmaj(t), W3, G3)
+    return (
+        jnp.transpose(dWh, (1, 0, 2)).reshape(n_ct * tb, H * F),
+        ds2[:, :, 0].T,
+    )
 
 
 def flash_gat_backward(
@@ -467,20 +537,32 @@ def flash_gat_backward(
 
     Same Jacobian identity as the reference (sgrace.py:979-981,1011),
     reorganized into row- and column-streaming tile reductions so no
-    E-sized gather ever materializes.
+    E-sized gather ever materializes. Shape-polymorphic like the forward
+    (1-D scores = single head; [N, H] scores + [N, H, F] features = batched
+    heads, one kernel per pass for all H). ``m``/``l``: [n_rt*tb, H].
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    s1, s2, Wh, squeeze = _norm_heads(s1, s2, Wh)
+    H = s1.shape[1]
+    F = Wh.shape[-1]
+    g_out = g_out.reshape(g_out.shape[0], H * F)
     n1, n2, nw = s1.shape[0], s2.shape[0], Wh.shape[0]
-    s1, s2, Wh, g_out = _pad_bwd_operands(B, s1, s2, Wh, g_out)
+    s1, s2, Wh, g_out = _pad_bwd_operands(
+        B, s1, s2, Wh.reshape(nw, H * F), g_out
+    )
     t, u1, u2 = _bwd_row_pass(
         B, s1, s2, m, l, Wh, g_out, alpha=alpha, interpret=interpret
     )
-    ds1 = u1 - t * u2
+    ds1 = (u1 - t * u2)[:n1]
     dWh, ds2 = _bwd_col_pass(
         B, s1, s2, m, l, t, Wh, g_out, alpha=alpha, interpret=interpret
     )
-    return ds1.reshape(-1)[:n1], ds2.reshape(-1)[:n2], dWh[:nw]
+    ds2 = ds2[:n2]
+    dWh = dWh[:nw].reshape(nw, H, F)
+    if squeeze:
+        return ds1[:, 0], ds2[:, 0], dWh[:, 0, :]
+    return ds1, ds2, dWh
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(4,))
@@ -488,9 +570,10 @@ def gat_attention_agg_fused(B, s1, s2, Wh, alpha=0.2):
     """Differentiable fused GAT aggregation, flash forward AND backward.
 
     Unlike ``gat_attention_agg`` this never touches the edge list: both
-    directions stream BSR tiles through the MXU. Gradients flow to s1, s2
-    (-> attention params) and Wh; B is a regular (traceable) argument with
-    a ``None`` cotangent.
+    directions stream BSR tiles through the MXU, with all heads batched
+    into one kernel per pass. Gradients flow to s1, s2 (-> attention
+    params) and Wh; B is a regular (traceable) argument with a ``None``
+    cotangent.
     """
     return flash_gat_forward(B, s1, s2, Wh, alpha=alpha)
 
@@ -520,32 +603,35 @@ def _halo_gat_forward(
 ):
     """One shard's GAT row softmax over local tiles + remote (halo) edges.
 
-    Local tiles run the flash kernel (partial stats m_l, l_l); the few
-    boundary edges run the classic streaming-softmax pieces; the two are
-    combined with the flash block-combine identity
+    Head-last multi-head layout throughout: s1/s2 [n, H], s2h [HL, H],
+    Wh [n, H, F], halo [HL, H, F]. Local tiles run the flash kernel
+    (partial stats m_l, l_l); the few boundary edges run the classic
+    streaming-softmax pieces; the two are combined with the flash
+    block-combine identity
 
         m = max(m_l, m_r);  l = l_l*e^{m_l-m} + l_r*e^{m_r-m}
         out = (acc_l*e^{m_l-m} + acc_r*e^{m_r-m}) / l
 
     which is exactly the row softmax over all edges. Returns
-    (out [nl, F], merged stats (m, l) [nl]).
+    (out [nl, H, F], merged stats (m, l) [nl, H]).
     """
     nl = B.n_rows
     o_l, m_l, l_l = flash_gat_forward(B, s1, s2, Wh, alpha=alpha,
                                       return_stats=True)
-    acc_l = o_l * l_l[:nl]  # un-normalize the local partial result
-    m_l = m_l[:nl, 0]
-    l_l = l_l[:nl, 0]
+    m_l = m_l[:nl]  # [nl, H]
+    l_l = l_l[:nl]
+    acc_l = o_l * l_l[..., None]  # un-normalize the local partial result
 
-    e = jnp.take(s1, rows_rem) + jnp.take(s2h, cols_halo)
+    mask = mask_rem[:, None]  # one adjacency mask shared by all heads
+    e = jnp.take(s1, rows_rem, axis=0) + jnp.take(s2h, cols_halo, axis=0)
     e = jnp.where(e > 0, e, alpha * e)
-    e = jnp.where(mask_rem, e, _NEG_INF)
+    e = jnp.where(mask, e, _NEG_INF)
     m_r = jax.ops.segment_max(e, rows_rem, num_segments=nl)
     m_r = jnp.maximum(m_r, _NEG_INF)  # empty rows: -inf -> sentinel
-    ex = jnp.where(mask_rem, jnp.exp(e - jnp.take(m_r, rows_rem)), 0.0)
+    ex = jnp.where(mask, jnp.exp(e - jnp.take(m_r, rows_rem, axis=0)), 0.0)
     l_r = jax.ops.segment_sum(ex, rows_rem, num_segments=nl)
     acc_r = jax.ops.segment_sum(
-        jnp.take(halo, cols_halo, axis=0) * ex[:, None],
+        jnp.take(halo, cols_halo, axis=0) * ex[..., None],
         rows_rem,
         num_segments=nl,
     )
@@ -554,9 +640,9 @@ def _halo_gat_forward(
     c_l = jnp.exp(m_l - m)
     c_r = jnp.exp(m_r - m)
     l = l_l * c_l + l_r * c_r
-    num = acc_l * c_l[:, None] + acc_r * c_r[:, None]
+    num = acc_l * c_l[..., None] + acc_r * c_r[..., None]
     out = jnp.where(
-        l[:, None] > 0, num / jnp.maximum(l, 1e-30)[:, None], 0.0
+        l[..., None] > 0, num / jnp.maximum(l, 1e-30)[..., None], 0.0
     )
     return out, m, l
 
@@ -567,7 +653,9 @@ def flash_gat_halo_agg(
 ):
     """Differentiable shard-local GAT aggregation over local BSR tiles plus
     halo edges — fused flash kernels in BOTH directions, with the softmax
-    stats merged across the two edge populations.
+    stats merged across the two edge populations and all heads batched into
+    one kernel per pass (1-D/2-D scores polymorphism as in the other entry
+    points).
 
     Contains no collectives: the halo buffer is a regular diff argument, so
     under shard_map autodiff transposes the surrounding all_to_all/gather
@@ -581,66 +669,77 @@ def flash_gat_halo_agg(
     (sgrace.py:979-981,1011) with the row reduction t summed over local AND
     remote edges.
     """
+    squeeze = s1.ndim == 1
+    s1, s2, Wh, _ = _norm_heads(s1, s2, Wh)
+    if squeeze:
+        s2h, halo = s2h[:, None], halo[:, None, :]
     out, _, _ = _halo_gat_forward(
         B, s1, s2, s2h, Wh, halo, rows_rem, cols_halo, mask_rem, alpha
     )
-    return out
+    return out[:, 0, :] if squeeze else out
 
 
 def _halo_agg_fwd(B, s1, s2, s2h, Wh, halo, rows_rem, cols_halo, mask_rem,
                   alpha):
+    squeeze = s1.ndim == 1
+    s1n, s2n, Whn, _ = _norm_heads(s1, s2, Wh)
+    s2hn, halon = (s2h[:, None], halo[:, None, :]) if squeeze else (s2h, halo)
     out, m, l = _halo_gat_forward(
-        B, s1, s2, s2h, Wh, halo, rows_rem, cols_halo, mask_rem, alpha
+        B, s1n, s2n, s2hn, Whn, halon, rows_rem, cols_halo, mask_rem, alpha
     )
-    return out, (B, s1, s2, s2h, Wh, halo, rows_rem, cols_halo, mask_rem,
-                 m, l)
+    res = (B, s1n, s2n, s2hn, Whn, halon, rows_rem, cols_halo, mask_rem,
+           m, l, squeeze)
+    return (out[:, 0, :] if squeeze else out), res
 
 
 def _halo_agg_bwd(alpha, res, g_out):
-    (B, s1, s2, s2h, Wh, halo, rows_rem, cols_halo, mask_rem, m, l) = res
+    (B, s1, s2, s2h, Wh, halo, rows_rem, cols_halo, mask_rem, m, l,
+     squeeze) = res
     interpret = jax.default_backend() != "tpu"
     nl = B.n_rows
     tb = B.tb
     n_rt = B.n_row_tiles
+    H = s1.shape[1]
+    F = Wh.shape[-1]
     n1, n2, nw = s1.shape[0], s2.shape[0], Wh.shape[0]
     HL = halo.shape[0]
+    g_out = g_out.reshape(g_out.shape[0], H, F)
 
     # pad merged stats to the tile grid (padding rows have no edges; their
     # mask zeroes p regardless of the stat values — use (0, 1) to stay safe)
-    m_p = jnp.pad(m.reshape(-1, 1), ((0, n_rt * tb - nl), (0, 0)))
-    l_p = jnp.pad(
-        l.reshape(-1, 1), ((0, n_rt * tb - nl), (0, 0)), constant_values=1.0
-    )
+    m_p = jnp.pad(m, ((0, n_rt * tb - nl), (0, 0)))
+    l_p = jnp.pad(l, ((0, n_rt * tb - nl), (0, 0)), constant_values=1.0)
 
-    s1p, s2p, Whp, g_outp = _pad_bwd_operands(B, s1, s2, Wh, g_out)
+    s1p, s2p, Whp, g_outp = _pad_bwd_operands(
+        B, s1, s2, Wh.reshape(nw, H * F), g_out.reshape(-1, H * F)
+    )
 
     # local tile row reductions under the merged stats
     t_l, u1_l, u2_l = _bwd_row_pass(
         B, s1p, s2p, m_p, l_p, Whp, g_outp, alpha=alpha, interpret=interpret
     )
 
-    # remote-edge pieces of the same reductions
-    e_pre = jnp.take(s1, rows_rem) + jnp.take(s2h, cols_halo)
+    # remote-edge pieces of the same reductions ([E, H] per-head lanes)
+    mask = mask_rem[:, None]
+    e_pre = jnp.take(s1, rows_rem, axis=0) + jnp.take(s2h, cols_halo, axis=0)
     lr = jnp.where(e_pre > 0, 1.0, alpha)
     e = jnp.where(e_pre > 0, e_pre, alpha * e_pre)
     p_r = jnp.where(
-        mask_rem, jnp.exp(e - jnp.take(m, rows_rem)), 0.0
-    ) / jnp.take(jnp.maximum(l, 1e-30), rows_rem)
+        mask, jnp.exp(e - jnp.take(m, rows_rem, axis=0)), 0.0
+    ) / jnp.take(jnp.maximum(l, 1e-30), rows_rem, axis=0)
     q_r = jnp.sum(
         jnp.take(g_out, rows_rem, axis=0) * jnp.take(halo, cols_halo, axis=0),
-        axis=1,
-    )
+        axis=-1,
+    )  # [E, H]
     t_r = jax.ops.segment_sum(p_r * q_r, rows_rem, num_segments=nl)
     u1_r = jax.ops.segment_sum(p_r * q_r * lr, rows_rem, num_segments=nl)
     u2_r = jax.ops.segment_sum(p_r * lr, rows_rem, num_segments=nl)
 
-    t = t_l.reshape(-1)[:nl] + t_r
-    ds1 = (u1_l.reshape(-1)[:nl] + u1_r) - t * (
-        u2_l.reshape(-1)[:nl] + u2_r
-    )
+    t = t_l[:nl] + t_r
+    ds1 = (u1_l[:nl] + u1_r) - t * (u2_l[:nl] + u2_r)
 
     # local column reductions need the FULL t (local + remote)
-    t_p = jnp.pad(t.reshape(-1, 1), ((0, n_rt * tb - nl), (0, 0)))
+    t_p = jnp.pad(t, ((0, n_rt * tb - nl), (0, 0)))
     dWh, ds2 = _bwd_col_pass(
         B, s1p, s2p, m_p, l_p, t_p, Whp, g_outp, alpha=alpha,
         interpret=interpret,
@@ -648,24 +747,22 @@ def _halo_agg_bwd(alpha, res, g_out):
 
     # remote-edge cotangents: attention scores of halo columns and the halo
     # feature rows themselves (transposed attention aggregation)
-    dE_r = p_r * (q_r - jnp.take(t, rows_rem)) * lr
-    dE_r = jnp.where(mask_rem, dE_r, 0.0)
+    dE_r = p_r * (q_r - jnp.take(t, rows_rem, axis=0)) * lr
+    dE_r = jnp.where(mask, dE_r, 0.0)
     ds2h = jax.ops.segment_sum(dE_r, cols_halo, num_segments=HL)
     d_halo = jax.ops.segment_sum(
-        jnp.take(g_out, rows_rem, axis=0) * p_r[:, None],
+        jnp.take(g_out, rows_rem, axis=0) * p_r[..., None],
         cols_halo,
         num_segments=HL,
     )
+    ds1 = ds1[:n1]
+    ds2 = ds2[:n2]
+    dWh = dWh[:nw].reshape(nw, H, F)
+    if squeeze:
+        ds1, ds2, ds2h = ds1[:, 0], ds2[:, 0], ds2h[:, 0]
+        dWh, d_halo = dWh[:, 0, :], d_halo[:, 0, :]
     return (
-        None,
-        ds1[:n1],
-        ds2.reshape(-1)[:n2],
-        ds2h,
-        dWh[:nw],
-        d_halo,
-        None,
-        None,
-        None,
+        None, ds1, ds2, ds2h, dWh, d_halo, None, None, None,
     )
 
 

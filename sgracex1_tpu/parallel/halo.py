@@ -411,28 +411,22 @@ def dist_gat_layer_halo_flash(
             send, "graph", split_axis=0, concat_axis=0, tiled=False
         ).reshape(-1, FH)
 
-        Hsg = jax.lax.stop_gradient(H_l)
-        halo_sg = jax.lax.stop_gradient(halo)
+        Hsg = jax.lax.stop_gradient(H_l).reshape(-1, nheads, F)
+        halo_sg = jax.lax.stop_gradient(halo).reshape(-1, nheads, F)
         a_src = a[:FH].reshape(nheads, F)
         a_dst = a[FH:].reshape(nheads, F)
         mask_r = vals_rem > 0
 
-        outs = []
-        for h in range(nheads):
-            sl = slice(h * F, (h + 1) * F)
-            s1 = jnp.dot(Hsg[:, sl], a_src[h],
-                         preferred_element_type=jnp.float32)
-            s2 = jnp.dot(Hsg[:, sl], a_dst[h],
-                         preferred_element_type=jnp.float32)
-            s2h = jnp.dot(halo_sg[:, sl], a_dst[h],
-                          preferred_element_type=jnp.float32)
-            outs.append(
-                flash_gat_halo_agg(
-                    B, s1, s2, s2h, H_l[:, sl], halo[:, sl],
-                    rows_rem, cols_halo, mask_r, alpha,
-                )
-            )
-        out = jnp.concatenate(outs, axis=-1)
+        # all heads batched: ONE fused kernel per pass (fwd / bwd-row /
+        # bwd-col), head = leading grid dimension
+        S1 = jnp.einsum("nhf,hf->nh", Hsg, a_src)
+        S2 = jnp.einsum("nhf,hf->nh", Hsg, a_dst)
+        S2h = jnp.einsum("nhf,hf->nh", halo_sg, a_dst)
+        out = flash_gat_halo_agg(
+            B, S1, S2, S2h,
+            H_l.reshape(-1, nheads, F), halo.reshape(-1, nheads, F),
+            rows_rem, cols_halo, mask_r, alpha,
+        ).reshape(-1, FH)
         return relu_hw(out) if relu else out
 
     return f(
@@ -491,58 +485,56 @@ def dist_gat_layer_halo(
             send, "graph", split_axis=0, concat_axis=0, tiled=False
         ).reshape(-1, FH)
 
-        Hsg = jax.lax.stop_gradient(H_l)
-        halo_sg = jax.lax.stop_gradient(halo)
+        Hsg = jax.lax.stop_gradient(H_l).reshape(-1, nheads, F)
+        halo_sg = jax.lax.stop_gradient(halo).reshape(-1, nheads, F)
         a_src = a[:FH].reshape(nheads, F)
         a_dst = a[FH:].reshape(nheads, F)
 
         rows_all = jnp.concatenate([rows_loc, rows_rem])
-        mask = jnp.concatenate([vals_loc, vals_rem]) > 0
+        mask = (jnp.concatenate([vals_loc, vals_rem]) > 0)[:, None]
         n_loc = rows_loc.shape[0]
 
-        outs = []
-        for h in range(nheads):
-            sl = slice(h * F, (h + 1) * F)
-            s1_l = jnp.dot(Hsg[:, sl], a_src[h],
-                           preferred_element_type=jnp.float32)
-            s2_l = jnp.dot(Hsg[:, sl], a_dst[h],
-                           preferred_element_type=jnp.float32)
-            s2_h = jnp.dot(halo_sg[:, sl], a_dst[h],
-                           preferred_element_type=jnp.float32)
+        # heads batched as vector lanes [E, H] through the whole edge path
+        s1_l = jnp.einsum("nhf,hf->nh", Hsg, a_src)
+        s2_l = jnp.einsum("nhf,hf->nh", Hsg, a_dst)
+        s2_h = jnp.einsum("nhf,hf->nh", halo_sg, a_dst)
 
-            # local and remote edge groups share the softmax over the
-            # destination row — concatenate the two edge sets
-            e_loc = jnp.take(s1_l, rows_loc) + jnp.take(s2_l, cols_loc)
-            e_rem = jnp.take(s1_l, rows_rem) + jnp.take(s2_h, cols_halo)
-            e = jnp.concatenate([e_loc, e_rem])
-            e = jnp.where(e > 0, e, alpha * e)
+        # local and remote edge groups share the softmax over the
+        # destination row — concatenate the two edge sets
+        e_loc = jnp.take(s1_l, rows_loc, axis=0) + jnp.take(
+            s2_l, cols_loc, axis=0
+        )
+        e_rem = jnp.take(s1_l, rows_rem, axis=0) + jnp.take(
+            s2_h, cols_halo, axis=0
+        )
+        e = jnp.concatenate([e_loc, e_rem])
+        e = jnp.where(e > 0, e, alpha * e)
 
-            masked = jnp.where(mask, e, _NEG_INF)
-            row_max = jax.ops.segment_max(
-                masked, rows_all, num_segments=G.n_local
-            )
-            row_max = jnp.where(jnp.isfinite(row_max), row_max, 0.0)
-            ex = jnp.where(
-                mask, jnp.exp(masked - jnp.take(row_max, rows_all)), 0.0
-            )
-            denom = jax.ops.segment_sum(ex, rows_all, num_segments=G.n_local)
-            att = ex / jnp.take(jnp.where(denom > 0, denom, 1.0), rows_all)
+        masked = jnp.where(mask, e, _NEG_INF)
+        row_max = jax.ops.segment_max(
+            masked, rows_all, num_segments=G.n_local
+        )
+        row_max = jnp.where(jnp.isfinite(row_max), row_max, 0.0)
+        ex = jnp.where(
+            mask, jnp.exp(masked - jnp.take(row_max, rows_all, axis=0)), 0.0
+        )
+        denom = jax.ops.segment_sum(ex, rows_all, num_segments=G.n_local)
+        att = ex / jnp.take(
+            jnp.where(denom > 0, denom, 1.0), rows_all, axis=0
+        )
 
-            outs.append(
-                jax.ops.segment_sum(
-                    jnp.take(H_l[:, sl], cols_loc, axis=0)
-                    * att[:n_loc, None],
-                    rows_loc,
-                    num_segments=G.n_local,
-                )
-                + jax.ops.segment_sum(
-                    jnp.take(halo[:, sl], cols_halo, axis=0)
-                    * att[n_loc:, None],
-                    rows_rem,
-                    num_segments=G.n_local,
-                )
-            )
-        out = jnp.concatenate(outs, axis=-1)
+        out = jax.ops.segment_sum(
+            jnp.take(H_l.reshape(-1, nheads, F), cols_loc, axis=0)
+            * att[:n_loc, :, None],
+            rows_loc,
+            num_segments=G.n_local,
+        ) + jax.ops.segment_sum(
+            jnp.take(halo.reshape(-1, nheads, F), cols_halo, axis=0)
+            * att[n_loc:, :, None],
+            rows_rem,
+            num_segments=G.n_local,
+        )
+        out = out.reshape(-1, FH)
         return relu_hw(out) if relu else out
 
     return f(

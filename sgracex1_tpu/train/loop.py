@@ -73,6 +73,14 @@ def train_node_classifier(
     state = create_train_state(
         model, init_rng, (A, x), cfg.resolved_learning_rate()
     )
+    if cfg.preload is not None:
+        # the reference's .ptx preload + very-low-LR fine-tune flow
+        # (demo_sgrace.py:42,422-435; load_weights register, sgrace.py:1852)
+        from sgracex1_tpu.train.checkpoint import load_checkpoint
+
+        state = state.replace(
+            params=load_checkpoint(cfg.preload, state.params)
+        )
 
     @jax.jit
     def step(state, dropout_rng):

@@ -172,6 +172,61 @@ def test_flash_bitpacked_mask_tiles(rng):
         )
 
 
+@pytest.mark.parametrize("H", [2, 4])
+def test_multihead_batched_matches_per_head(rng, H):
+    """The head-batched kernel (grid = (H, tiles), ONE compiled kernel for
+    all heads) reproduces H independent single-head calls — forward and
+    fused backward."""
+    from sgracex1_tpu.ops.flash_gat import gat_attention_agg_fused
+
+    A, B = _graph(rng, n=300, density=0.03)
+    F = 16
+    S1 = jnp.asarray(rng.standard_normal((A.n_rows, H)).astype(np.float32))
+    S2 = jnp.asarray(rng.standard_normal((A.n_cols, H)).astype(np.float32))
+    Wh = jnp.asarray(
+        rng.standard_normal((A.n_cols, H, F)).astype(np.float32)
+    )
+    v = jnp.asarray(
+        rng.standard_normal((A.n_rows, H, F)).astype(np.float32)
+    )
+
+    out_mh = np.asarray(flash_gat_forward(B, S1, S2, Wh))
+    for h in range(H):
+        ref_h = np.asarray(
+            flash_gat_forward(B, S1[:, h], S2[:, h], Wh[:, h])
+        )
+        np.testing.assert_allclose(
+            out_mh[:, h], ref_h, rtol=1e-5, atol=1e-5,
+            err_msg=f"multi-head fwd mismatch, head {h}",
+        )
+
+    def loss_mh(S1, S2, Wh):
+        return jnp.vdot(gat_attention_agg_fused(B, S1, S2, Wh), v)
+
+    g_mh = jax.grad(loss_mh, argnums=(0, 1, 2))(S1, S2, Wh)
+
+    def loss_h(h):
+        def f(s1, s2, wh):
+            return jnp.vdot(
+                gat_attention_agg_fused(B, s1, s2, wh), v[:, h]
+            )
+        return f
+
+    for h in range(H):
+        g_h = jax.grad(loss_h(h), argnums=(0, 1, 2))(
+            S1[:, h], S2[:, h], Wh[:, h]
+        )
+        for gm, gs, name in zip(
+            (g_mh[0][:, h], g_mh[1][:, h], g_mh[2][:, h]),
+            g_h,
+            ("ds1", "ds2", "dWh"),
+        ):
+            np.testing.assert_allclose(
+                np.asarray(gm), np.asarray(gs), rtol=1e-4, atol=1e-5,
+                err_msg=f"multi-head bwd mismatch head {h} {name}",
+            )
+
+
 def test_gatconv_flash_backend_matches_edge_backend(rng):
     """GATConv produces the same output whether aggregation runs on the
     flash kernel (bsr-prepared adjacency) or the XLA edge path."""

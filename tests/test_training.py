@@ -62,6 +62,35 @@ def test_quantized_training_learns(qbits):
     assert hist.best_test_acc > floor, hist.best_test_acc
 
 
+def test_quantized_gap_8bit_vs_1bit_pinned():
+    """Pin the 8-bit-vs-1-bit accuracy DELTA, not just per-qbits floors: the
+    reference's Cora result is ~0.86 (8-bit) vs ~0.81 (1-bit), a ~5-point
+    gap (demo/README.md:133-135). On the SBM anchor (where both bit-widths
+    train stably — measured 1.000/1.000 seed 3, 0.983/0.983 seed 7) a
+    1-bit-datapath regression (wrong binarization sign, broken deq_o scale,
+    adjacency grid collapse) shows up as a blown gap long before the 0.60
+    floor above trips."""
+    accs = {}
+    for qbits in (8, 1):
+        data = sbm_node_classification(n=300, num_classes=3, seed=7)
+        cal = CalibrationTable.for_qbits(qbits)
+        cfg = SGRACEConfig(
+            hidden_channels=16, num_epochs=60, w_qbits=qbits,
+            fake_quantization=True,
+        )
+        model = GCNModel(
+            num_features=data.num_features,
+            hidden_channels=16,
+            num_classes=data.num_classes,
+            calibration=cal,
+        )
+        _, hist = train_node_classifier(model, data, cfg)
+        accs[qbits] = hist.best_test_acc
+    assert accs[8] >= 0.90, accs  # ~0.86-like headroom on the easy anchor
+    # the reference's ~5-point 1-bit delta
+    assert accs[1] >= accs[8] - 0.05, accs
+
+
 def test_molecule_graph_classification_anchor():
     """Synthetic analogue of the MUTAG anchor: 0.76 test accuracy within
     ~36 epochs (README.md:127-129)."""
@@ -127,6 +156,33 @@ def test_orbax_train_state_roundtrip(tmp_path):
         jax.tree.leaves(restored),
     ):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_preload_finetune_improves(tmp_path):
+    """Reference .ptx preload flow (demo_sgrace.py:42,422-435): load a
+    pretrained checkpoint via ``cfg.preload``, fine-tune at the automatic
+    very-low LR (1e-4), and accuracy must start at the pretrained level and
+    never collapse."""
+    data = sbm_node_classification(n=300, num_classes=3, seed=6)
+    model = GCNModel(
+        num_features=data.num_features, hidden_channels=16, num_classes=3
+    )
+    pre_cfg = SGRACEConfig(hidden_channels=16, num_epochs=30,
+                           learning_rate=0.01)
+    _, pre_hist = train_node_classifier(model, data, pre_cfg)
+    ckpt = str(tmp_path / "pretrained.msgpack")
+    save_checkpoint(ckpt, pre_hist.best_params)
+
+    ft_cfg = SGRACEConfig(hidden_channels=16, num_epochs=10, preload=ckpt)
+    assert ft_cfg.resolved_learning_rate() == pytest.approx(0.0001)
+    _, ft_hist = train_node_classifier(model, data, ft_cfg)
+    # starts from the pretrained model, not from scratch: epoch-1 accuracy
+    # is already at (or above) the pretrained best minus tuning noise
+    assert ft_hist.test_acc[0] >= pre_hist.best_test_acc - 0.05, (
+        ft_hist.test_acc[0], pre_hist.best_test_acc
+    )
+    # low-LR tuning must not degrade the model
+    assert ft_hist.best_test_acc >= pre_hist.best_test_acc - 0.02
 
 
 def test_checkpoint_roundtrip(tmp_path):
