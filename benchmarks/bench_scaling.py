@@ -86,6 +86,39 @@ def main():
             bench(d, (edge_index, n, F, W), base)
             bench(d, (edge_index, n, F, W), base, halo=True)
 
+    # Predicted ICI scaling on real v5e hardware: exact collective bytes per
+    # layer (a property of the halo plan) / ICI bandwidth vs the roofline
+    # compute split. This is the falsifiable multi-chip claim this
+    # environment (one chip) can make — see BASELINE.md "Scaling".
+    from sgracex1_tpu.graph.normalize import sym_norm
+    from sgracex1_tpu.parallel.comm_model import (
+        allgather_comm,
+        halo_comm,
+        predicted_efficiency,
+    )
+    from sgracex1_tpu.parallel.halo import build_halo
+    from sgracex1_tpu.utils.roofline import cost_xla_edges
+
+    A = sym_norm(edge_index, n)
+    # single-chip compute time: HBM-bound ideal for the edge path (upper
+    # bound on comm impact — a slower kernel only hides comm better)
+    comp = cost_xla_edges(A.nnz, n, H)
+    t1 = comp.hbm_bytes / 819e9
+    header("predicted ICI efficiency on v5e (comm-volume model)")
+    for d in (2, 4, 8, 16):
+        G, n_pad = build_halo(A, d)
+        for name, c in (
+            ("halo", halo_comm(G, F=H, backward=True)),
+            ("gthr", allgather_comm(n_pad, F=H, S=d, backward=True)),
+        ):
+            p = predicted_efficiency(t1, d, c)
+            print(
+                f"  {d:2d} dev [{name}]: comm {c.bytes_out / 1e6:7.2f} MB"
+                f"  t_comp {p['t_comp_us']:8.1f} us"
+                f"  t_comm {p['t_comm_us']:8.1f} us"
+                f"  eff {p['efficiency'] * 100:5.1f}%"
+            )
+
 
 if __name__ == "__main__":
     main()

@@ -5,6 +5,11 @@ from sgracex1_tpu.parallel.spmm_dist import (
     dist_gnn_layer,
     dist_gat_layer,
 )
+from sgracex1_tpu.parallel.comm_model import (
+    halo_comm,
+    allgather_comm,
+    predicted_efficiency,
+)
 
 __all__ = [
     "make_mesh",
@@ -13,4 +18,7 @@ __all__ = [
     "dist_spmm",
     "dist_gnn_layer",
     "dist_gat_layer",
+    "halo_comm",
+    "allgather_comm",
+    "predicted_efficiency",
 ]
