@@ -45,7 +45,12 @@ from sgracex1_tpu.ops.pallas_spmm import (
     plan_with_vals,
     spmm_pallas,
 )
-from sgracex1_tpu.ops.bsr import BSRMatrix, bsr_from_sparse, bsr_spmm_pallas
+from sgracex1_tpu.ops.bsr import (
+    BSRMatrix,
+    bsr_from_sparse,
+    bsr_spmm_pallas,
+    bsr_transpose,
+)
 from sgracex1_tpu.utils.transfer import chunked_device_put
 
 DENSE_MAX_BYTES = 512 << 20  # dense bf16 adjacency budget (~16k nodes)
@@ -238,35 +243,34 @@ def prepare_adjacency(
                         / _XLA_EDGE_S)),
         )
         part, rest = split_by_tile_density(A, h_tb, h_thresh)
+        # one host scatter; the transposed plan is a device-side tile
+        # transpose + reorder (bsr_transpose), not a second multi-GB build.
+        # cover_cols guarantees the transpose still row-covers.
+        B = bsr_from_sparse(
+            part, tb=h_tb, dtype=dense_dtype,
+            cover_rows=True, cover_cols=True,
+        )
         return _finish(PreparedAdjacency(
             A=A,
             dense=None,
             plan=None,
             plan_t=None,
-            bsr=jax.device_put(
-                bsr_from_sparse(
-                    part, tb=h_tb, dtype=dense_dtype, cover_rows=True
-                )
-            ),
-            bsr_t=jax.device_put(
-                bsr_from_sparse(
-                    part.transpose(), tb=h_tb, dtype=dense_dtype,
-                    cover_rows=True,
-                )
-            ),
+            bsr=jax.device_put(B),
+            bsr_t=bsr_transpose(B),
             rest=jax.device_put(rest) if rest.nnz else None,
             kind="hybrid",
         ))
     if method == "bsr":
+        B = bsr_from_sparse(
+            A, tb=tb, dtype=dense_dtype, cover_rows=True, cover_cols=True
+        )
         return _finish(PreparedAdjacency(
             A=A,
             dense=None,
             plan=None,
             plan_t=None,
-            bsr=jax.device_put(bsr_from_sparse(A, tb=tb, dtype=dense_dtype)),
-            bsr_t=jax.device_put(
-                bsr_from_sparse(A.transpose(), tb=tb, dtype=dense_dtype)
-            ),
+            bsr=jax.device_put(B),
+            bsr_t=bsr_transpose(B),
             kind="bsr",
         ))
     if method == "dense":
