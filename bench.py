@@ -189,10 +189,15 @@ def phase_pubmed_flash_gat():
     import jax
     import jax.numpy as jnp
 
+    from sgracex1_tpu.graph.reorder import rcm_order, permute_graph
     from sgracex1_tpu.ops.bsr import bsr_mask_from_sparse
     from sgracex1_tpu.ops.flash_gat import flash_gat_forward
 
     adj = load_pubmed_adj()
+    # RCM first — the framework's documented recipe for the tile kernels
+    # (DESIGN.md §1): pubmed keeps ~2.6x fewer nonempty tiles reordered,
+    # and the flash kernel's work is O(nonempty tiles)
+    adj, _ = permute_graph(adj, rcm_order(adj))
     rng = np.random.default_rng(0)
     N, F = adj.n_rows, 32
     Wh = jax.device_put(rng.standard_normal((N, F)).astype(np.float32))
@@ -207,9 +212,16 @@ def phase_pubmed_flash_gat():
     tp = TwoPoint(step, Wh, consts=(B, s1, s2), k1=100, k2=600)
     sec = float(np.median([tp.estimate() for _ in range(3)]))
     eps = adj.nnz / sec
-    log(f"pubmed flash GAT fwd: {sec*1e3:.4f} ms  ({eps/1e6:.0f} M edges/s)")
+    from sgracex1_tpu.utils.roofline import cost_flash_gat
+
+    rl = cost_flash_gat(B, F).roofline(sec)
+    log(
+        f"pubmed flash GAT fwd: {sec*1e3:.4f} ms  ({eps/1e6:.0f} M edges/s, "
+        f"{rl['pct_roofline']}% of {rl['bound']} roof)"
+    )
     EXTRA["pubmed_flash_gat_ms"] = round(sec * 1e3, 4)
     EXTRA["pubmed_flash_gat_medges_s"] = round(eps / 1e6, 1)
+    EXTRA["pubmed_flash_gat_pct_roofline"] = rl["pct_roofline"]
 
 
 def phase_powerlaw_1m():
@@ -253,14 +265,20 @@ def phase_powerlaw_1m():
     tp = TwoPoint(step, H, consts=(prep,), k1=4, k2=24)
     sec = float(np.median([tp.estimate(reps=5) for _ in range(3)]))
     eps = A.nnz / sec
+    from sgracex1_tpu.utils.roofline import cost_for_prep
+
+    rl = cost_for_prep(prep, 128).roofline(sec)
     log(
         f"powerlaw 1M-node agg ({prep.kind}): {sec*1e3:.3f} ms  "
-        f"({eps/1e6:.0f} M edges/s)"
+        f"({eps/1e6:.0f} M edges/s, {rl['pct_roofline']}% of "
+        f"{rl['bound']} roof)"
     )
     EXTRA["powerlaw_1m_nnz"] = int(A.nnz)
     EXTRA["powerlaw_1m_backend"] = prep.kind
     EXTRA["powerlaw_1m_agg_ms"] = round(sec * 1e3, 3)
     EXTRA["powerlaw_1m_medges_s"] = round(eps / 1e6, 1)
+    EXTRA["powerlaw_1m_pct_roofline"] = rl["pct_roofline"]
+    EXTRA["powerlaw_1m_bound"] = rl["bound"]
 
 
 def emit(rc: int):
@@ -279,8 +297,21 @@ def main():
     from sgracex1_tpu.utils.watchdog import device_alive_retry
 
     log("devices:", jax.devices())
-    if not device_alive_retry(attempts=3, seconds=60.0):
-        log("ERROR: device liveness probe timed out 3x (hung relay?)")
+    # Relay outages are the #1 way a round loses its perf record (it
+    # happened in round 1 and again while developing round 2): keep probing
+    # as long as the deadline still fits the headline phase, rather than
+    # aborting after a fixed 3 attempts. Each probe gets its own 60 s
+    # deadline; hung probes run in daemon threads and cannot wedge us.
+    alive = False
+    while remaining() > 300.0:
+        if device_alive_retry(attempts=1, seconds=60.0):
+            alive = True
+            break
+        log(f"liveness probe failed; retrying ({remaining():.0f}s left)")
+        time.sleep(15.0)
+    if not alive:
+        log("ERROR: device liveness probes exhausted the deadline "
+            "(relay outage)")
         emit(1)
 
     phases = [

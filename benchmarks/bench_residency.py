@@ -34,6 +34,10 @@ def main():
     from sgracex1_tpu.ops.dispatch import prepare_adjacency, agg_matmul
     from sgracex1_tpu.utils.roofline import cost_dense, CostModel
 
+    def mark(msg):
+        print(msg, file=sys.stderr, flush=True)
+
+    mark("loading citeseer ...")
     adj, X, w = load_citeseer()
     adj = adj.device()
     Xd = jax.device_put(X).astype(jnp.bfloat16)
@@ -45,6 +49,8 @@ def main():
           f"  X: {Xd.shape} ({Xd.size * 2 / 1e6:.1f} MB)", file=sys.stderr)
 
     # --- resident regime (the shipping bench loop) ---
+    mark("compiling resident loops ...")
+
     def layer_step(x, A, W):
         h = jnp.dot(x, W, preferred_element_type=jnp.float32)
         out = jnp.dot(A, h.astype(jnp.bfloat16),
@@ -54,7 +60,9 @@ def main():
     tp = TwoPoint(layer_step, Xd, consts=(A, W))
     res_ms = sorted(tp.estimate() * 1e3 for _ in range(5))
     print(f"resident:  median {np.median(res_ms):.4f} ms  "
-          f"spread {res_ms[-1] - res_ms[0]:.4f}  {[f'{e:.4f}' for e in res_ms]}")
+          f"spread {res_ms[-1] - res_ms[0]:.4f}  {[f'{e:.4f}' for e in res_ms]}",
+          flush=True)
+    mark("building K-copy streaming operands ...")
 
     # --- streaming regime: K copies cycled so VMEM cannot hold them ---
     import time
@@ -85,8 +93,10 @@ def main():
     k1, k2 = 50, 300
     f1, f2 = make_stream(k1), make_stream(k2)
     x0 = jnp.zeros((Xd.shape[0], W.shape[1]), jnp.bfloat16)
+    mark("compiling streaming loops ...")
     for f in (f1, f2):  # compile + warm
         float(jnp.sum(f(x0, Astack, Xstack, W)))
+    mark("timing streaming regime ...")
 
     def timed(f, reps=7):
         ts = []

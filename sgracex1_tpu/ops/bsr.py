@@ -31,6 +31,10 @@ from jax.experimental.pallas import tpu as pltpu
 
 from sgracex1_tpu.graph.csr import SparseMatrix
 
+# f32 scratch cap for the on-device tile build; module-level so tests can
+# shrink it to exercise the multi-batch path at CI sizes
+_DEVICE_BUILD_BATCH_BYTES = 1 << 30
+
 
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
@@ -60,6 +64,7 @@ class BSRMatrix:
 def bsr_from_sparse(
     A: SparseMatrix, *, tb: int = 256, dtype=jnp.bfloat16,
     cover_rows: bool = False, cover_cols: bool = False,
+    device_build: bool | None = None,
 ) -> BSRMatrix:
     """Host-side build: densify each nonempty (rb, cb) tile.
 
@@ -71,6 +76,11 @@ def bsr_from_sparse(
     ``bsr_transpose`` of the result still row-covers — letting the prepare
     step build the transposed plan on-device instead of paying a second
     multi-GB host scatter.
+
+    ``device_build`` forces (True) or forbids (False) the on-device edge
+    scatter; default None auto-selects it for large tile sets on TPU (the
+    host scatter + tile upload costs minutes at 1M-node scale). Tests force
+    True on CPU to cover the path CI otherwise never runs.
     """
     r = np.asarray(A.rows[: A.nnz])
     c = np.asarray(A.cols[: A.nnz])
@@ -98,11 +108,11 @@ def bsr_from_sparse(
     T = max(len(uniq), 1)
     np_dtype = jnp.dtype(dtype)
     tile_bytes = T * tb * tb * np_dtype.itemsize
-    if (
-        len(v)
-        and tile_bytes > (256 << 20)
-        and jax.default_backend() == "tpu"
-    ):
+    if device_build is None:
+        device_build = (
+            tile_bytes > (256 << 20) and jax.default_backend() == "tpu"
+        )
+    if len(v) and device_build:
         # large tile sets: ship only the EDGES (~16 B/edge) and scatter into
         # the tile array inside one jitted program on-device. The host
         # scatter + multi-GB tile upload path below costs minutes at
@@ -117,7 +127,7 @@ def bsr_from_sparse(
         # batch the f32 scatter scratch to <=1 GB so peak device memory is
         # bounded (out-of-batch edges are dropped via an OOB sentinel; one
         # compiled program serves every batch because the offset is traced)
-        batch = max(1, (1 << 30) // (tb * tb * 4))
+        batch = max(1, int(_DEVICE_BUILD_BATCH_BYTES) // (tb * tb * 4))
         if T <= batch:
             dev_tiles = _device_tile_build(
                 T, tb, np_dtype, inv_d, rr_d, cc_d, v_d, 0

@@ -114,3 +114,73 @@ def test_bsr_training_step(rng):
         params, opt_state, loss = step(params, opt_state)
         losses.append(float(loss))
     assert losses[-1] < losses[0]
+
+
+def test_device_build_matches_host(rng, monkeypatch):
+    """The on-device edge-scatter tile build (the path bench.py's 1M-node
+    phase takes on TPU) must produce byte-identical tiles to the host
+    scatter — including duplicate-edge accumulation and the multi-batch
+    concat (forced here by shrinking the scratch cap)."""
+    import sgracex1_tpu.ops.bsr as bsr_mod
+
+    n, nnz, tb = 256, 1500, 32
+    r = rng.integers(0, n, nnz)
+    c = rng.integers(0, n, nnz)
+    # force duplicates so the scatter must accumulate
+    r[::7] = r[0]
+    c[::7] = c[0]
+    v = rng.standard_normal(nnz).astype(np.float32)
+    A = SparseMatrix.from_coo(r, c, v, (n, n))
+
+    host = bsr_from_sparse(
+        A, tb=tb, dtype=jnp.float32, cover_rows=True, cover_cols=True,
+        device_build=False,
+    )
+    # multi-batch: cap the f32 scratch at 3 tiles' worth
+    monkeypatch.setattr(
+        bsr_mod, "_DEVICE_BUILD_BATCH_BYTES", 3 * tb * tb * 4
+    )
+    dev = bsr_from_sparse(
+        A, tb=tb, dtype=jnp.float32, cover_rows=True, cover_cols=True,
+        device_build=True,
+    )
+    np.testing.assert_array_equal(np.asarray(host.tile_rb), np.asarray(dev.tile_rb))
+    np.testing.assert_array_equal(np.asarray(host.tile_cb), np.asarray(dev.tile_cb))
+    np.testing.assert_allclose(
+        np.asarray(host.tiles), np.asarray(dev.tiles), rtol=1e-6, atol=1e-6
+    )
+
+
+def test_bsr_transpose_spmm_matches_scipy(rng):
+    """bsr_transpose(B) @ H == A.T @ H on the Pallas kernel — the prepare
+    step derives the backward plan this way instead of a second host build
+    (cover_cols guarantees the transpose still row-covers)."""
+    A, mat = _graph(rng, n=300)
+    from sgracex1_tpu.ops.bsr import bsr_transpose
+
+    B = bsr_from_sparse(
+        A, tb=128, dtype=jnp.float32, cover_rows=True, cover_cols=True
+    )
+    Bt = bsr_transpose(B)
+    assert Bt.n_rows == A.n_cols and Bt.n_cols == A.n_rows
+    # transposed tile set must be sorted by (new) row block for the kernel's
+    # first-visit zeroing to work
+    rb = np.asarray(Bt.tile_rb)
+    assert np.all(np.diff(rb) >= 0)
+    H = rng.standard_normal((A.n_rows, 64)).astype(np.float32)
+    out = np.asarray(bsr_spmm_pallas(Bt, jnp.asarray(H)))
+    # kernel computes in bf16 with f32 accumulation (the framework's dtype
+    # policy) — tolerance sized for bf16 rounding, not f32
+    np.testing.assert_allclose(
+        out[: A.n_cols], mat.T @ H, rtol=3e-2, atol=3e-2
+    )
+    # and the tiles themselves reassemble A^T exactly
+    pad = 128 * -(-300 // 128)
+    d = np.zeros((pad, pad), np.float32)
+    t = np.asarray(Bt.tiles)
+    rb, cb = np.asarray(Bt.tile_rb), np.asarray(Bt.tile_cb)
+    for i in range(len(rb)):
+        d[rb[i] * 128:(rb[i] + 1) * 128, cb[i] * 128:(cb[i] + 1) * 128] += t[i]
+    np.testing.assert_allclose(
+        d[: A.n_cols, : A.n_rows], mat.T.toarray(), rtol=1e-6
+    )
