@@ -73,6 +73,82 @@ def sym_norm_edges(
     return edge_index, (dis[row] * edge_weight * dis[col]).astype(np.float32)
 
 
+def rank1_factor(
+    A: SparseMatrix, *, tol: float = 1e-5, iters: int = 50
+) -> Optional[Tuple[np.ndarray, np.ndarray]]:
+    """Detect a diagonal factorization ``v(r, c) = s_row[r] * s_col[c]`` of
+    the positive edge values (zero-valued edges — e.g. fill=0 self-loops —
+    contribute nothing to ``A @ H`` and are exempt).
+
+    sym_norm output on an unweighted graph has exactly this structure
+    (``d_r^{-1/2} * 1 * d_c^{-1/2}``), which lets the block-sparse backends
+    store tiles as exact int8 {0,1} *masks* — half the HBM traffic of bf16
+    value tiles and no value-rounding error — applying the two diagonal
+    scalings to H and the output instead (O(N*F) VPU work). Detection is
+    structural, not tied to sym_norm: solve ``log s_r + log s_c = log v``
+    by alternating per-row/per-column means (seeded from positive diagonal
+    entries, which give ``s_i^2`` directly for sym-normalized graphs), then
+    verify every positive edge to ``tol`` relative error. Returns
+    ``(s_row, s_col)`` float32, 1.0 at nodes with no positive edges, or
+    None when no factorization holds (weighted graphs, quantized values,
+    duplicate edges).
+    """
+    n_r, n_c = A.n_rows, A.n_cols
+    r = np.asarray(A.rows[: A.nnz]).astype(np.int64)
+    c = np.asarray(A.cols[: A.nnz]).astype(np.int64)
+    v = np.asarray(A.vals[: A.nnz], dtype=np.float64)
+    pos = v > 0.0
+    if not pos.any() or (v < 0.0).any():
+        return None
+    r, c, v = r[pos], c[pos], v[pos]
+    key = r * n_c + c
+    if len(np.unique(key)) != len(key):
+        return None  # duplicate edges sum in the matrix; per-edge check invalid
+    w = np.log(v)
+    cnt_r = np.maximum(np.bincount(r, minlength=n_r), 1)
+    cnt_c = np.maximum(np.bincount(c, minlength=n_c), 1)
+
+    def _verified(x_r, x_c) -> bool:
+        return np.allclose(np.exp(x_r[r] + x_c[c]), v, rtol=tol, atol=0.0)
+
+    # Fast path: sym_norm of an unweighted graph gives s_i = deg_i^{-1/2}
+    # with deg = row weight sums == the positive-edge count per row, so the
+    # degree seed IS the solution — one O(nnz) verify instead of an
+    # iterative solve (the alternating solve below needs hundreds of
+    # iterations on million-node graphs).
+    if n_r == n_c:
+        x0 = -0.5 * np.log(cnt_r.astype(np.float64))
+        if _verified(x0, x0):
+            s = np.exp(x0)
+            s_r = np.where(np.bincount(r, minlength=n_r) == 0, 1.0, s)
+            s_c = np.where(np.bincount(c, minlength=n_c) == 0, 1.0, s)
+            return s_r.astype(np.float32), s_c.astype(np.float32)
+
+    # General rank-1 values: alternating per-row/per-column means
+    # (Gauss-Seidel on the consistent system log s_r + log s_c = log v)
+    x_r = np.zeros(n_r)
+    x_c = np.zeros(n_c)
+    diag = r == c
+    if diag.any():
+        half = 0.5 * w[diag]
+        x_r[r[diag]] = half
+        if n_c == n_r:
+            x_c[r[diag]] = half
+    for _ in range(iters):
+        x_r = np.bincount(r, weights=w - x_c[c], minlength=n_r) / cnt_r
+        x_c = np.bincount(c, weights=w - x_r[r], minlength=n_c) / cnt_c
+        err = float(np.abs(x_r[r] + x_c[c] - w).max())
+        if err < 0.1 * tol:
+            break
+    if not _verified(x_r, x_c):
+        return None
+    s_r = np.exp(x_r)
+    s_c = np.exp(x_c)
+    s_r[np.bincount(r, minlength=n_r) == 0] = 1.0
+    s_c[np.bincount(c, minlength=n_c) == 0] = 1.0
+    return s_r.astype(np.float32), s_c.astype(np.float32)
+
+
 def sym_norm(
     edge_index: np.ndarray,
     num_nodes: int,

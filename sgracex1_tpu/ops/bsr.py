@@ -64,7 +64,7 @@ class BSRMatrix:
 def bsr_from_sparse(
     A: SparseMatrix, *, tb: int = 256, dtype=jnp.bfloat16,
     cover_rows: bool = False, cover_cols: bool = False,
-    device_build: bool | None = None,
+    device_build: bool | None = None, mask: bool = False,
 ) -> BSRMatrix:
     """Host-side build: densify each nonempty (rb, cb) tile.
 
@@ -81,10 +81,17 @@ def bsr_from_sparse(
     scatter; default None auto-selects it for large tile sets on TPU (the
     host scatter + tile upload costs minutes at 1M-node scale). Tests force
     True on CPU to cover the path CI otherwise never runs.
+
+    ``mask`` emits int8 {0,1} edge-presence tiles instead of value tiles,
+    thresholded per build batch so the f32 scratch never holds the whole
+    tile set (a 1M-node hybrid tile set is ~5 GB in f32 but ~1.2 GB as
+    int8 masks).
     """
     r = np.asarray(A.rows[: A.nnz])
     c = np.asarray(A.cols[: A.nnz])
     v = np.asarray(A.vals[: A.nnz], dtype=np.float32)
+    if mask:
+        dtype = jnp.int8
     key = (r // tb).astype(np.int64) << 32 | (c // tb).astype(np.int64)
     uniq = np.unique(key)
     # merge zero cover tiles into the key set BEFORE the scatter, so the
@@ -130,12 +137,12 @@ def bsr_from_sparse(
         batch = max(1, int(_DEVICE_BUILD_BATCH_BYTES) // (tb * tb * 4))
         if T <= batch:
             dev_tiles = _device_tile_build(
-                T, tb, np_dtype, inv_d, rr_d, cc_d, v_d, 0
+                T, tb, np_dtype, mask, inv_d, rr_d, cc_d, v_d, 0
             )
         else:
             parts = [
                 _device_tile_build(
-                    batch, tb, np_dtype, inv_d, rr_d, cc_d, v_d, b0
+                    batch, tb, np_dtype, mask, inv_d, rr_d, cc_d, v_d, b0
                 )
                 for b0 in range(0, T, batch)
             ]
@@ -165,7 +172,8 @@ def bsr_from_sparse(
                 bv = sv[lo:hi]
                 st = np.flatnonzero(np.r_[True, bi[1:] != bi[:-1]])
                 buf[bi[st]] = np.add.reduceat(bv, st)
-                tiles[b0:b1] = buf.reshape(b1 - b0, tb, tb).astype(np_dtype)
+                buf = buf.reshape(b1 - b0, tb, tb)
+                tiles[b0:b1] = (buf > 0) if mask else buf.astype(np_dtype)
         from sgracex1_tpu.utils.transfer import chunked_device_put
 
         dev_tiles = chunked_device_put(tiles)
@@ -184,28 +192,42 @@ def bsr_from_sparse(
     )
 
 
-@_functools.partial(jax.jit, static_argnums=(0, 1, 2))
-def _device_tile_build(T, tb, np_dtype, inv, rr, cc, v, offset):
+@_functools.partial(jax.jit, static_argnums=(0, 1, 2, 3))
+def _device_tile_build(T, tb, np_dtype, mask, inv, rr, cc, v, offset):
     """Scatter the edge-list slice [offset, offset+T) into [T, tb, tb]
-    tiles on-device (f32 accumulate, cast to the target dtype once).
-    Edges outside the batch are redirected to an out-of-bounds sentinel
-    and dropped — negative indices would wrap, not drop."""
+    tiles on-device (f32 accumulate, cast to the target dtype — or
+    thresholded to an int8 {0,1} mask — once per batch). Edges outside
+    the batch are redirected to an out-of-bounds sentinel and dropped —
+    negative indices would wrap, not drop."""
     local = inv - offset
     local = jnp.where((local >= 0) & (local < T), local, T)
     tiles = jnp.zeros((T, tb, tb), jnp.float32)
     tiles = tiles.at[local, rr, cc].add(v, mode="drop")
+    if mask:
+        return (tiles > 0).astype(jnp.int8)
     return tiles.astype(np_dtype)
 
 
-def bsr_mask_from_sparse(A: SparseMatrix, *, tb: int = 256) -> BSRMatrix:
+def bsr_mask_from_sparse(
+    A: SparseMatrix, *, tb: int = 256,
+    cover_rows: bool = False, cover_cols: bool = False,
+    device_build: bool | None = None,
+) -> BSRMatrix:
     """BSR of the edge MASK (int8 {0,1} tiles): all the flash-GAT kernel
     reads from the adjacency is ``tile > 0``, so int8 tiles carry the same
     information at 1/4 the HBM traffic of f32. Measured pubmed flash:
     1.17 -> 1.08 ms at tb=512 (the kernel is VPU-bound on the tile
     elementwise ops, so the saving is mostly memory, not time; tb=1024
-    int8 reaches 0.84 ms)."""
-    B = bsr_from_sparse(A, tb=tb, dtype=jnp.float32)
-    return dataclasses.replace(B, tiles=(B.tiles > 0).astype(jnp.int8))
+    int8 reaches 0.84 ms). Mask tiles are also the aggregation tiles for
+    rank-1-factorable adjacencies (graph/normalize.rank1_factor): cover
+    flags and device_build pass through to bsr_from_sparse for that use.
+    Zero-valued edges (fill=0 self-loops) threshold away, matching their
+    null contribution to ``A @ H``."""
+    return bsr_from_sparse(
+        A, tb=tb, mask=True,
+        cover_rows=cover_rows, cover_cols=cover_cols,
+        device_build=device_build,
+    )
 
 
 def bsr_bitmask_from_sparse(A: SparseMatrix, *, tb: int = 1024) -> BSRMatrix:

@@ -78,6 +78,12 @@ class PreparedAdjacency:
     # tiles GATConv's flash path reads — always the FULL adjacency)
     rest: Optional[SparseMatrix] = None
     gat_bsr: Optional[BSRMatrix] = None
+    # rank-1 adjacency factorization (graph/normalize.rank1_factor): when
+    # set, bsr/bsr_t hold exact int8 {0,1} MASK tiles and
+    # A @ H == r1_row * (M @ (r1_col * H)) + rest @ H — half the tile HBM
+    # traffic of bf16 value tiles, no value-rounding error
+    r1_row: Optional[jax.Array] = None
+    r1_col: Optional[jax.Array] = None
     kind: str = dataclasses.field(default="xla", metadata=dict(static=True))
 
     @property
@@ -115,15 +121,20 @@ def _tile_cost_s(tb: int, itemsize: int) -> float:
 
 
 def _estimate_backend_costs(
-    A: SparseMatrix, dense_dtype, tbs=(128, 256, 512, 1024)
+    A: SparseMatrix, dense_dtype, tbs=(128, 256, 512, 1024),
+    tile_itemsize: int | None = None,
 ):
     """Rough per-aggregation seconds for each backend — calibrated against
     measured sweeps (citeseer: dense 19us > bsr; pubmed RCM: bsr512 0.58ms
     < pallas 0.75ms < dense 1.04ms). Lane width 128 is the padded P.
 
+    ``tile_itemsize`` overrides the BSR/hybrid tile element size (1 when a
+    rank-1 factorization lets tiles be int8 masks).
+
     Returns (costs dict, best bsr tile size, best (tile size, nnz threshold)
     for the hybrid split)."""
     itemsize = jnp.dtype(dense_dtype).itemsize
+    t_item = itemsize if tile_itemsize is None else tile_itemsize
     n = max(A.n_rows, A.n_cols)
     r = np.asarray(A.rows[: A.nnz])
     c = np.asarray(A.cols[: A.nnz])
@@ -140,7 +151,7 @@ def _estimate_backend_costs(
         )
         if len(counts) == 0:
             counts = np.ones(1, np.int64)
-        tc = _tile_cost_s(tb, itemsize)
+        tc = _tile_cost_s(tb, t_item)
         t = len(counts) * tc
         if t < best_t:
             best_tb, best_t = tb, t
@@ -195,6 +206,7 @@ def prepare_adjacency(
     be: int = 1024,
     tb: int | None = None,
     for_gat: bool = False,
+    rank1: bool = True,
 ) -> PreparedAdjacency:
     """Choose and precompute the aggregation backend for a graph.
 
@@ -207,11 +219,27 @@ def prepare_adjacency(
     flash-attention path (13x over the edge path) engages — the mask tiles
     are what the flash kernel reads, independent of how plain ``A @ H``
     aggregation runs.
+
+    ``rank1`` (default on) detects a diagonal factorization of the edge
+    values (sym-normalized unweighted adjacencies have one —
+    graph/normalize.rank1_factor) and, when found, stores the bsr/hybrid
+    tiles as exact int8 {0,1} masks with the two diagonal scalings applied
+    around the tile matmuls — half the tile HBM bytes of bf16 values and
+    no value-rounding error. Disable for layers that fake-quantize the
+    adjacency in-jit (map_adjacency_vals cannot remap mask tiles).
     """
     n = max(A.n_rows, A.n_cols)
+    fac = None
+    if rank1 and method in ("auto", "hybrid", "bsr"):
+        from sgracex1_tpu.graph.normalize import rank1_factor
+
+        fac = rank1_factor(A)
+    tile_itemsize = 1 if fac is not None else jnp.dtype(dense_dtype).itemsize
     hybrid_split = None
     if method in ("auto", "hybrid"):
-        costs, best_tb, best_hy = _estimate_backend_costs(A, dense_dtype)
+        costs, best_tb, best_hy = _estimate_backend_costs(
+            A, dense_dtype, tile_itemsize=tile_itemsize
+        )
         if method == "hybrid":
             hybrid_split = best_hy
         else:
@@ -236,20 +264,35 @@ def prepare_adjacency(
             )
         return prep
 
+    def _tiles(M: SparseMatrix, tile_tb: int) -> BSRMatrix:
+        """Value tiles, or exact int8 mask tiles when rank-1-factored."""
+        if fac is not None:
+            from sgracex1_tpu.ops.bsr import bsr_mask_from_sparse
+
+            return bsr_mask_from_sparse(
+                M, tb=tile_tb, cover_rows=True, cover_cols=True
+            )
+        return bsr_from_sparse(
+            M, tb=tile_tb, dtype=dense_dtype, cover_rows=True, cover_cols=True
+        )
+
+    def _r1_fields() -> dict:
+        if fac is None:
+            return {}
+        return dict(
+            r1_row=jax.device_put(fac[0]), r1_col=jax.device_put(fac[1])
+        )
+
     if method == "hybrid":
         h_tb, h_thresh = hybrid_split or (
             tb,
-            int(np.ceil(_tile_cost_s(tb, jnp.dtype(dense_dtype).itemsize)
-                        / _XLA_EDGE_S)),
+            int(np.ceil(_tile_cost_s(tb, tile_itemsize) / _XLA_EDGE_S)),
         )
         part, rest = split_by_tile_density(A, h_tb, h_thresh)
         # one host scatter; the transposed plan is a device-side tile
         # transpose + reorder (bsr_transpose), not a second multi-GB build.
         # cover_cols guarantees the transpose still row-covers.
-        B = bsr_from_sparse(
-            part, tb=h_tb, dtype=dense_dtype,
-            cover_rows=True, cover_cols=True,
-        )
+        B = _tiles(part, h_tb)
         return _finish(PreparedAdjacency(
             A=A,
             dense=None,
@@ -259,11 +302,10 @@ def prepare_adjacency(
             bsr_t=bsr_transpose(B),
             rest=jax.device_put(rest) if rest.nnz else None,
             kind="hybrid",
+            **_r1_fields(),
         ))
     if method == "bsr":
-        B = bsr_from_sparse(
-            A, tb=tb, dtype=dense_dtype, cover_rows=True, cover_cols=True
-        )
+        B = _tiles(A, tb)
         return _finish(PreparedAdjacency(
             A=A,
             dense=None,
@@ -272,6 +314,7 @@ def prepare_adjacency(
             bsr=jax.device_put(B),
             bsr_t=bsr_transpose(B),
             kind="bsr",
+            **_r1_fields(),
         ))
     if method == "dense":
         d = A.to_dense().astype(np.float32)  # host build — no device scatter
@@ -304,6 +347,9 @@ def prepare_from_config(A: SparseMatrix, cfg) -> PreparedAdjacency:
         rb=max(cfg.row_block, 8),
         cb=max(cfg.col_block, 128),
         be=be,
+        # QAT layers fake-quantize adjacency values in-jit, which mask
+        # tiles cannot represent (map_adjacency_vals)
+        rank1=not cfg.fake_quantization,
     )
 
 
@@ -319,13 +365,26 @@ def agg_matmul(prep: PreparedAdjacency, H: jax.Array) -> jax.Array:
     if prep.kind == "pallas":
         return _pallas_agg(prep.plan, prep.plan_t, H).astype(H.dtype)
     if prep.kind == "bsr":
-        return _bsr_agg(prep.bsr, prep.bsr_t, H).astype(H.dtype)
+        return _bsr_agg_scaled(prep, H).astype(H.dtype)
     if prep.kind == "hybrid":
-        out = _bsr_agg(prep.bsr, prep.bsr_t, H)
+        out = _bsr_agg_scaled(prep, H)
         if prep.rest is not None:
             out = out + spmm(prep.rest, H).astype(out.dtype)
         return out.astype(H.dtype)
     return spmm(prep.A, H)
+
+
+def _bsr_agg_scaled(prep: PreparedAdjacency, H: jax.Array) -> jax.Array:
+    """Tile aggregation, with the rank-1 diagonal scalings applied around
+    the mask-tile matmul when present: A @ H == r1_row * (M @ (r1_col * H)).
+    The scalings are plain jnp ops OUTSIDE the custom-VJP kernel, so
+    autodiff applies the product rule natively and the backward stays on
+    the transposed tile kernel."""
+    if prep.r1_row is None:
+        return _bsr_agg(prep.bsr, prep.bsr_t, H)
+    Hs = H.astype(jnp.float32) * prep.r1_col[: H.shape[0], None]
+    out = _bsr_agg(prep.bsr, prep.bsr_t, Hs)
+    return out * prep.r1_row[: out.shape[0], None]
 
 
 @jax.custom_vjp
@@ -420,6 +479,13 @@ def map_adjacency_vals(prep: PreparedAdjacency, fn) -> PreparedAdjacency:
     """Apply an elementwise function to the adjacency values of every
     backend representation (used for fake-quantizing the adjacency; fn must
     map 0 -> 0 so dense zeros and padding stay zero)."""
+    if prep.r1_row is not None:
+        raise ValueError(
+            "adjacency values cannot be remapped on a rank-1 mask-tile "
+            "backend (tiles hold {0,1}, not values); prepare the adjacency "
+            "with prepare_adjacency(..., rank1=False) for layers that "
+            "quantize the adjacency in-jit"
+        )
     A = prep.A.with_vals(fn(prep.A.vals))
     dense = fn(prep.dense) if prep.dense is not None else None
     plan = (

@@ -144,17 +144,28 @@ def cost_flash_gat(B, F: int, H: int = 1) -> CostModel:
     )
 
 
+def cost_rank1_scaling(n_rows: int, n_cols: int, P: int) -> CostModel:
+    """Diagonal scaling passes around the mask-tile matmul (dispatch's
+    rank-1 path): H is read and the scaled copy written before the kernel,
+    the output re-read and re-written after."""
+    return CostModel(
+        flops=float((n_rows + n_cols) * P),
+        hbm_bytes=float(2 * n_cols * P * 4 + 2 * n_rows * P * 4),
+        note="r1-scale",
+    )
+
+
 def cost_for_prep(prep, P: int) -> CostModel:
     """Cost model for ``agg_matmul(prep, H)`` with feature width P."""
     if prep.kind == "dense":
         return cost_dense(prep.dense.shape[0], P, prep.dense.dtype.itemsize)
-    if prep.kind == "bsr":
-        return cost_bsr(prep.bsr, P)
     if prep.kind == "pallas":
         return cost_pallas_onehot(prep.plan, P)
-    if prep.kind == "hybrid":
+    if prep.kind in ("bsr", "hybrid"):
         c = cost_bsr(prep.bsr, P)
-        if prep.rest is not None and prep.rest.nnz:
+        if prep.r1_row is not None:
+            c = c + cost_rank1_scaling(prep.A.n_rows, prep.A.n_cols, P)
+        if prep.kind == "hybrid" and prep.rest is not None and prep.rest.nnz:
             c = c + cost_xla_edges(prep.rest.nnz, prep.A.n_rows, P)
-        return dataclasses.replace(c, note="hybrid")
+        return dataclasses.replace(c, note=prep.kind)
     return cost_xla_edges(prep.A.nnz, prep.A.n_rows, P)

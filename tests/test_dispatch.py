@@ -185,6 +185,78 @@ def test_hybrid_under_jit_as_argument(rng):
     np.testing.assert_allclose(out, mat @ H, rtol=5e-2, atol=5e-2)
 
 
+def _symnorm_graph(rng, n=1024, avg_degree=8, fill=0.0):
+    """Unweighted random graph, sym-normalized: values factor as
+    d_r^-1/2 * d_c^-1/2 (rank-1), the structure the mask-tile path needs."""
+    from sgracex1_tpu.graph.normalize import sym_norm
+
+    m = n * avg_degree
+    ei = np.stack([rng.integers(0, n, m), rng.integers(0, n, m)])
+    ei = np.unique(ei, axis=1)
+    A = sym_norm(ei, n, fill=fill)
+    r = np.asarray(A.rows[: A.nnz])
+    c = np.asarray(A.cols[: A.nnz])
+    v = np.asarray(A.vals[: A.nnz])
+    mat = sp.coo_matrix((v, (r, c)), shape=(n, n)).tocsr()
+    return A, mat
+
+
+def test_rank1_bsr_mask_tiles_parity(rng):
+    """Sym-normalized adjacency -> int8 {0,1} mask tiles + diagonal
+    scalings; forward and backward match the scipy reference."""
+    A, mat = _symnorm_graph(rng)
+    prep = prepare_adjacency(A, method="bsr", tb=128)
+    assert prep.r1_row is not None and prep.r1_col is not None
+    assert prep.bsr.tiles.dtype == jnp.int8
+    H = jnp.asarray(rng.standard_normal((A.n_cols, 64)).astype(np.float32))
+    out = np.asarray(agg_matmul(prep, H))
+    np.testing.assert_allclose(out, mat @ np.asarray(H), rtol=5e-2, atol=5e-2)
+    v = rng.standard_normal((A.n_rows, 64)).astype(np.float32)
+    g = jax.grad(lambda h: jnp.vdot(agg_matmul(prep, h), v))(H)
+    np.testing.assert_allclose(np.asarray(g), mat.T @ v, rtol=5e-2, atol=5e-2)
+
+
+def test_rank1_hybrid_parity(rng):
+    A, mat = _symnorm_graph(rng, n=2048, avg_degree=16)
+    prep = prepare_adjacency(A, method="hybrid")
+    assert prep.kind == "hybrid" and prep.r1_row is not None
+    assert prep.bsr.tiles.dtype == jnp.int8
+    H = jnp.asarray(rng.standard_normal((A.n_cols, 64)).astype(np.float32))
+    out = np.asarray(jax.jit(agg_matmul)(prep, H))
+    np.testing.assert_allclose(out, mat @ np.asarray(H), rtol=5e-2, atol=5e-2)
+
+
+def test_rank1_zero_fill_self_loops_drop_from_mask(rng):
+    """fill=0 self-loops have value 0 == no contribution; the mask tiles
+    must drop them, not aggregate them as 1s."""
+    A, mat = _symnorm_graph(rng, fill=0.0)
+    assert (np.asarray(A.vals[: A.nnz]) == 0).any()  # zero loops present
+    prep = prepare_adjacency(A, method="bsr", tb=128)
+    assert prep.r1_row is not None
+    H = jnp.asarray(rng.standard_normal((A.n_cols, 32)).astype(np.float32))
+    out = np.asarray(agg_matmul(prep, H))
+    np.testing.assert_allclose(out, mat @ np.asarray(H), rtol=5e-2, atol=5e-2)
+
+
+def test_rank1_disabled_keeps_value_tiles(rng):
+    A, _ = _symnorm_graph(rng)
+    prep = prepare_adjacency(A, method="bsr", tb=128, rank1=False)
+    assert prep.r1_row is None
+    assert prep.bsr.tiles.dtype == jnp.bfloat16
+
+
+def test_map_adjacency_vals_rejects_rank1(rng):
+    from sgracex1_tpu.ops.dispatch import map_adjacency_vals
+
+    A, _ = _symnorm_graph(rng)
+    prep = prepare_adjacency(A, method="bsr", tb=128)
+    with pytest.raises(ValueError, match="rank1=False"):
+        map_adjacency_vals(prep, lambda v: v * 2.0)
+    # the documented escape hatch works
+    prep = prepare_adjacency(A, method="bsr", tb=128, rank1=False)
+    map_adjacency_vals(prep, lambda v: v * 2.0)
+
+
 def test_auto_picks_hybrid_on_hub_tail_structure(rng):
     """On a graph whose edges split into a few dense tiles plus a scattered
     tail, the cost model must rank hybrid ahead of pure bsr and xla."""

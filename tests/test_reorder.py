@@ -63,6 +63,46 @@ def test_spmm_equivariance(rng):
     np.testing.assert_allclose(out_perm[inv], out_direct, rtol=1e-5, atol=1e-5)
 
 
+def test_degree_order_densifies_hub_tiles(rng):
+    """Degree sort packs power-law hub edges into fewer, denser tiles:
+    the hybrid split harvests more edges onto the MXU tile path and the
+    cost model's hybrid estimate drops."""
+    from sgracex1_tpu.graph.datasets import powerlaw_node_classification
+    from sgracex1_tpu.graph.normalize import sym_norm
+    from sgracex1_tpu.graph.reorder import degree_order
+    from sgracex1_tpu.ops.dispatch import (
+        _estimate_backend_costs,
+        split_by_tile_density,
+    )
+
+    data = powerlaw_node_classification(
+        n=4096, avg_degree=16, num_features=4, seed=0
+    )
+    A = sym_norm(data.edge_index, data.num_nodes)
+    perm = degree_order(A)
+    assert sorted(perm.tolist()) == list(range(max(A.n_rows, A.n_cols)))
+    B, _ = permute_graph(A, perm)
+    costs_a, _, hy_a = _estimate_backend_costs(A, jnp.bfloat16)
+    costs_b, _, hy_b = _estimate_backend_costs(B, jnp.bfloat16)
+    assert costs_b["hybrid"] <= costs_a["hybrid"]
+    # more edges land on the dense-tile (MXU) side after the sort
+    dense_a, _ = split_by_tile_density(A, *hy_a)
+    dense_b, _ = split_by_tile_density(B, *hy_b)
+    assert dense_b.nnz > dense_a.nnz, (dense_a.nnz, dense_b.nnz)
+
+
+def test_degree_order_spmm_equivariance(rng):
+    from sgracex1_tpu.graph.reorder import degree_order
+
+    A = _banded_graph_shuffled(rng, n=150)
+    X = rng.standard_normal((150, 16)).astype(np.float32)
+    perm = degree_order(A)
+    B, inv = permute_graph(A, perm)
+    out_direct = np.asarray(spmm(A, jnp.asarray(X)))
+    out_perm = np.asarray(spmm(B, jnp.asarray(X[perm])))
+    np.testing.assert_allclose(out_perm[inv], out_direct, rtol=1e-5, atol=1e-5)
+
+
 def test_plan_shrinks_after_rcm(rng):
     """RCM cuts the number of pallas edge groups on a shuffled banded graph."""
     from sgracex1_tpu.ops.pallas_spmm import plan_spmm
