@@ -74,7 +74,7 @@ def sym_norm_edges(
 
 
 def rank1_factor(
-    A: SparseMatrix, *, tol: float = 1e-5, iters: int = 50
+    A: SparseMatrix, *, tol: float = 1e-5, iters: Optional[int] = None
 ) -> Optional[Tuple[np.ndarray, np.ndarray]]:
     """Detect a diagonal factorization ``v(r, c) = s_row[r] * s_col[c]`` of
     the positive edge values (zero-valued edges — e.g. fill=0 self-loops —
@@ -92,6 +92,12 @@ def rank1_factor(
     ``(s_row, s_col)`` float32, 1.0 at nodes with no positive edges, or
     None when no factorization holds (weighted graphs, quantized values,
     duplicate edges).
+
+    ``iters`` defaults to ``max(200, 2*sqrt(N))`` — the alternating solve's
+    convergence slows with graph diameter, and a too-small cap would make
+    genuinely rank-1 graphs that miss the degree fast path silently fall
+    back to value tiles. A verify failure after max iterations is logged
+    (warnings) so the fallback is observable.
     """
     n_r, n_c = A.n_rows, A.n_cols
     r = np.asarray(A.rows[: A.nnz]).astype(np.int64)
@@ -126,6 +132,8 @@ def rank1_factor(
 
     # General rank-1 values: alternating per-row/per-column means
     # (Gauss-Seidel on the consistent system log s_r + log s_c = log v)
+    if iters is None:
+        iters = max(200, int(2 * np.sqrt(max(n_r, n_c))))
     x_r = np.zeros(n_r)
     x_c = np.zeros(n_c)
     diag = r == c
@@ -134,6 +142,7 @@ def rank1_factor(
         x_r[r[diag]] = half
         if n_c == n_r:
             x_c[r[diag]] = half
+    err = np.inf
     for _ in range(iters):
         x_r = np.bincount(r, weights=w - x_c[c], minlength=n_r) / cnt_r
         x_c = np.bincount(c, weights=w - x_r[r], minlength=n_c) / cnt_c
@@ -141,6 +150,16 @@ def rank1_factor(
         if err < 0.1 * tol:
             break
     if not _verified(x_r, x_c):
+        if err < 1.0:  # residual shrank: likely rank-1 but unconverged
+            import warnings
+
+            warnings.warn(
+                f"rank1_factor: alternating solve did not verify after "
+                f"{iters} iterations (residual {err:.2e}); falling back to "
+                f"value tiles — pass a larger iters= if the values are "
+                f"genuinely rank-1",
+                stacklevel=2,
+            )
         return None
     s_r = np.exp(x_r)
     s_c = np.exp(x_c)

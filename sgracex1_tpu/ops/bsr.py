@@ -356,7 +356,8 @@ def bsr_spmm_pallas(
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=2 * B.num_tiles * tb * tb * P,
-            bytes_accessed=B.num_tiles * (tb * tb * 2 + tb * P * 4 * 2),
+            bytes_accessed=B.num_tiles
+            * (tb * B.tiles.shape[-1] * B.tiles.dtype.itemsize + tb * P * 4 * 2),
             transcendentals=0,
         ),
     )(B.tile_rb, B.tile_cb, B.tiles, H)

@@ -382,7 +382,11 @@ def _bsr_agg_scaled(prep: PreparedAdjacency, H: jax.Array) -> jax.Array:
     the transposed tile kernel."""
     if prep.r1_row is None:
         return _bsr_agg(prep.bsr, prep.bsr_t, H)
-    Hs = H.astype(jnp.float32) * prep.r1_col[: H.shape[0], None]
+    # scale in H's dtype: upcasting to f32 here would materialize a full
+    # f32 copy the kernel immediately casts back to bf16, doubling the
+    # pre-kernel HBM traffic ({0,1} tiles make bf16 rounding equivalent
+    # to the value-tile path)
+    Hs = H * prep.r1_col[: H.shape[0], None].astype(H.dtype)
     out = _bsr_agg(prep.bsr, prep.bsr_t, Hs)
     return out * prep.r1_row[: out.shape[0], None]
 
@@ -480,11 +484,27 @@ def map_adjacency_vals(prep: PreparedAdjacency, fn) -> PreparedAdjacency:
     backend representation (used for fake-quantizing the adjacency; fn must
     map 0 -> 0 so dense zeros and padding stay zero)."""
     if prep.r1_row is not None:
-        raise ValueError(
-            "adjacency values cannot be remapped on a rank-1 mask-tile "
-            "backend (tiles hold {0,1}, not values); prepare the adjacency "
-            "with prepare_adjacency(..., rank1=False) for layers that "
-            "quantize the adjacency in-jit"
+        # remapped values break the rank-1 factorization (tiles hold {0,1},
+        # not values) — degrade to the always-correct edge path instead of
+        # erroring at trace time. gat_bsr mask tiles survive (any 0 -> 0
+        # quantizer keeps the tile > 0 semantics), so flash attention still
+        # engages. Re-prepare with rank1=False to keep tile aggregation.
+        import warnings
+
+        warnings.warn(
+            "map_adjacency_vals on a rank-1 mask-tile backend: remapped "
+            "values cannot live in {0,1} tiles, so plain aggregation falls "
+            "back to the edge path for this layer. Prepare the adjacency "
+            "with prepare_adjacency(..., rank1=False) (or "
+            "prepare_from_config, which does this for fake_quantization "
+            "configs) to keep the MXU tile kernels.",
+            stacklevel=2,
+        )
+        return dataclasses.replace(
+            prep,
+            A=prep.A.with_vals(fn(prep.A.vals)),
+            dense=None, plan=None, plan_t=None, bsr=None, bsr_t=None,
+            rest=None, r1_row=None, r1_col=None, kind="xla",
         )
     A = prep.A.with_vals(fn(prep.A.vals))
     dense = fn(prep.dense) if prep.dense is not None else None

@@ -224,10 +224,13 @@ def freeze_gcn2(
 class Int8GATLayer:
     """GAT layer frozen for integer inference (single head).
 
-    Both matmuls (X@W and attention-weighted aggregation) run int8 on the
-    MXU; attention scores are int8 matvecs; only the edge softmax itself is
-    float (O(E) transcendentals — the demo bitstream likewise computes the
-    softmax in its float pipeline stage, reading back S, sgrace.py:501-539).
+    X@W runs int8 x int8 -> int32 on the MXU; attention scores are int8
+    matvecs. The edge softmax is float (O(E) transcendentals — the demo
+    bitstream likewise computes the softmax in its float pipeline stage,
+    reading back S, sgrace.py:501-539), and the attention-weighted
+    aggregation is an exact-integer segment-sum carried in f32 (quantized
+    255-grid attention x int8 hidden stays far below f32's 2^24 exact-int
+    range) — O(E) memory, no dense N x N intermediate.
     """
 
     wq: jax.Array  # int8 [F_in, F_out]

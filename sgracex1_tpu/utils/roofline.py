@@ -4,14 +4,20 @@ TPU-native replacement for the reference's in-fabric FIFO stall counters
 (``kernelMatrixmult_all.cpp:1018-1291``, dumped at ``:3948-3962`` and decoded
 in ``jupyter/test/mmult-master.ipynb`` cells 39-40 into statements like
 "frontend fast/slow"). On TPU we cannot count pipeline stalls, but we can do
-better: model each backend's ideal HBM bytes and MXU FLOPs per invocation,
-divide by the measured time, and report the achieved fraction of the chip's
-peak for each — whichever fraction is higher is the resource the kernel is
-bound by, and its distance from 100% is the remaining headroom ("% of
-speed-of-light").
+better: model each backend's ideal HBM bytes, MXU FLOPs, and VPU
+elementwise/transcendental ops per invocation, divide by the measured time,
+and report the achieved fraction of the chip's peak for each — whichever
+fraction is highest is the resource the kernel is bound by, and its
+distance from 100% is the remaining headroom ("% of speed-of-light").
 
 Peaks default to TPU v5e (the chip behind this environment's relay):
-~197 TFLOP/s bf16 on the MXU, ~819 GB/s HBM.
+~197 TFLOP/s bf16 on the MXU, ~819 GB/s HBM. The VPU peaks are MEASURED on
+this environment's chip (benchmarks/bench_vpu_cal.py): the v5e vector unit
+is 8x128 lanes x 4 ALUs; simple f32 elementwise ops sustain ~3.6 Top/s and
+``exp`` decomposes into ~7 ALU slots (~0.5 T exp/s). The VPU axis is what
+the flash-GAT kernel — whose per-tile work is mostly score elementwise math
+— is actually bound by; without it the HBM/MXU-only roofline misreported
+the kernel at "22% of HBM roof" (BENCH_r02) as if 4x headroom existed.
 """
 
 from __future__ import annotations
@@ -21,21 +27,35 @@ import dataclasses
 # TPU v5e published peaks (per chip)
 V5E_PEAK_BF16_FLOPS = 197e12
 V5E_PEAK_HBM_BYTES = 819e9
+# measured on the attached v5e via benchmarks/bench_vpu_cal.py (see module
+# docstring); update there first if the relay hardware ever changes
+V5E_PEAK_VPU_OPS = 3.6e12  # simple f32 elementwise ops / s
+V5E_PEAK_TRANSC = 0.5e12  # f32 exp / s
 
 
 @dataclasses.dataclass(frozen=True)
 class CostModel:
-    """Ideal per-invocation resource footprint of one kernel call."""
+    """Ideal per-invocation resource footprint of one kernel call.
+
+    ``vpu_ops`` counts simple elementwise vector ops (add/mul/select/
+    compare/max, one per element per op); ``transcendentals`` counts
+    exp/log-class ops, which cost several ALU slots each. Both execute on
+    the same 8x128 vector unit, so the VPU axis is their combined time.
+    """
 
     flops: float
     hbm_bytes: float
     note: str = ""
+    vpu_ops: float = 0.0
+    transcendentals: float = 0.0
 
     def __add__(self, other: "CostModel") -> "CostModel":
         return CostModel(
             self.flops + other.flops,
             self.hbm_bytes + other.hbm_bytes,
             "+".join(n for n in (self.note, other.note) if n),
+            self.vpu_ops + other.vpu_ops,
+            self.transcendentals + other.transcendentals,
         )
 
     def roofline(
@@ -44,21 +64,30 @@ class CostModel:
         *,
         peak_flops: float = V5E_PEAK_BF16_FLOPS,
         peak_bytes: float = V5E_PEAK_HBM_BYTES,
+        peak_vpu: float = V5E_PEAK_VPU_OPS,
+        peak_transc: float = V5E_PEAK_TRANSC,
     ) -> dict:
         """Achieved rates and % of peak; ``bound`` names the resource whose
-        utilization is higher (the one the kernel is limited by if the cost
+        utilization is highest (the one the kernel is limited by if the cost
         model is right)."""
         tflops = self.flops / sec / 1e12
         gbs = self.hbm_bytes / sec / 1e9
         pct_mxu = 100.0 * self.flops / sec / peak_flops
         pct_hbm = 100.0 * self.hbm_bytes / sec / peak_bytes
+        # elementwise and transcendental work share the vector unit, so the
+        # VPU utilization is the sum of their ideal times over the wall time
+        vpu_sec = self.vpu_ops / peak_vpu + self.transcendentals / peak_transc
+        pct_vpu = 100.0 * vpu_sec / sec
+        pcts = {"HBM": pct_hbm, "MXU": pct_mxu, "VPU": pct_vpu}
+        bound = max(pcts, key=pcts.get)
         return dict(
             tflops=round(tflops, 2),
             gb_s=round(gbs, 1),
             pct_mxu=round(pct_mxu, 1),
             pct_hbm=round(pct_hbm, 1),
-            bound="HBM" if pct_hbm >= pct_mxu else "MXU",
-            pct_roofline=round(max(pct_hbm, pct_mxu), 1),
+            pct_vpu=round(pct_vpu, 1),
+            bound=bound,
+            pct_roofline=round(pcts[bound], 1),
             note=self.note,
         )
 
@@ -125,15 +154,25 @@ def cost_xla_edges(nnz: int, n_rows: int, P: int) -> CostModel:
     )
 
 
+# elementwise VPU ops per adjacency-tile element in the flash-GAT forward:
+# mask cast+test (2), score outer-add (1), LeakyReLU as mul+max (2),
+# mask apply (1), running row-max (1), subtract m (1) — the exp is counted
+# separately as a transcendental, and the row softmax denominator rides the
+# MXU matmul (ones column appended to Wh), not the VPU
+FLASH_GAT_VPU_OPS_PER_ELT = 8
+
+
 def cost_flash_gat(B, F: int, H: int = 1) -> CostModel:
     """Flash GAT forward (ops/flash_gat.py): per tile per head, the score
-    outer-add/exp (VPU) + one tb x tb x F MXU matmul; tiles re-read per
-    head, stats/outputs written once per row block."""
+    elementwise math (VPU) + one exp per element (transcendental) + one
+    tb x tb x F MXU matmul; tiles re-read per head, stats/outputs written
+    once per row block."""
     tb = B.tb
     T = B.num_tiles
     itemsize = B.tiles.dtype.itemsize * (
         1 if B.tiles.shape[-1] == tb else B.tiles.shape[-1] / tb
     )
+    elems = float(H * T * tb * tb)
     return CostModel(
         flops=2.0 * H * T * tb * tb * (F + 4),
         hbm_bytes=float(
@@ -141,6 +180,8 @@ def cost_flash_gat(B, F: int, H: int = 1) -> CostModel:
             + H * B.n_row_tiles * tb * (F + 2) * 4
         ),
         note="flash-gat",
+        vpu_ops=FLASH_GAT_VPU_OPS_PER_ELT * elems,
+        transcendentals=elems,
     )
 
 

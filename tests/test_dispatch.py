@@ -245,16 +245,25 @@ def test_rank1_disabled_keeps_value_tiles(rng):
     assert prep.bsr.tiles.dtype == jnp.bfloat16
 
 
-def test_map_adjacency_vals_rejects_rank1(rng):
+def test_map_adjacency_vals_degrades_rank1_to_edge_path(rng):
+    """Remapping values on a rank-1 mask-tile backend cannot keep the {0,1}
+    tiles; it must warn and fall back to the (correct) edge path rather
+    than raise at trace time."""
     from sgracex1_tpu.ops.dispatch import map_adjacency_vals
 
-    A, _ = _symnorm_graph(rng)
+    A, mat = _symnorm_graph(rng)
     prep = prepare_adjacency(A, method="bsr", tb=128)
-    with pytest.raises(ValueError, match="rank1=False"):
-        map_adjacency_vals(prep, lambda v: v * 2.0)
-    # the documented escape hatch works
+    with pytest.warns(UserWarning, match="rank1=False"):
+        mapped = map_adjacency_vals(prep, lambda v: v * 2.0)
+    assert mapped.kind == "xla" and mapped.r1_row is None
+    H = jnp.asarray(rng.standard_normal((A.n_cols, 32)).astype(np.float32))
+    out = np.asarray(agg_matmul(mapped, H))
+    np.testing.assert_allclose(
+        out, 2.0 * (mat @ np.asarray(H)), rtol=5e-2, atol=5e-2
+    )
+    # the documented escape hatch keeps tile aggregation
     prep = prepare_adjacency(A, method="bsr", tb=128, rank1=False)
-    map_adjacency_vals(prep, lambda v: v * 2.0)
+    assert map_adjacency_vals(prep, lambda v: v * 2.0).kind == "bsr"
 
 
 def test_auto_picks_hybrid_on_hub_tail_structure(rng):
