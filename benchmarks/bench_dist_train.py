@@ -44,7 +44,8 @@ from sgracex1_tpu.parallel.mesh import make_mesh
 from sgracex1_tpu.parallel.partition import pad_nodes
 
 
-def bench(n_devices, data, A, base_eps=None, *, balance=True):
+def bench(n_devices, data, A, base_eps=None, *, balance=True,
+          decompose=False):
     if balance and n_devices > 1:
         perm = degree_balanced_order(A, n_devices)
         A_s, _ = permute_graph(A, perm)
@@ -71,23 +72,50 @@ def bench(n_devices, data, A, base_eps=None, *, balance=True):
     opt = optax.adam(0.01)
     opt_state = opt.init(params)
 
-    def train_step(carry, G, x, y, m):
-        params, opt_state = carry
+    def make_train_step(exchange):
+        def train_step(carry, G, x, y, m):
+            params, opt_state = carry
 
-        def loss_fn(p):
-            hdn = dist_gnn_layer_halo(mesh, G, x, p["W1"], relu=True)
-            hdn = dist_gnn_layer_halo(mesh, G, hdn, p["W2"], relu=True)
-            logits = hdn @ p["Wo"]
-            ls = optax.softmax_cross_entropy_with_integer_labels(logits, y)
-            return jnp.sum(ls * m) / jnp.sum(m)
+            def loss_fn(p):
+                hdn = dist_gnn_layer_halo(
+                    mesh, G, x, p["W1"], relu=True, exchange=exchange
+                )
+                hdn = dist_gnn_layer_halo(
+                    mesh, G, hdn, p["W2"], relu=True, exchange=exchange
+                )
+                logits = hdn @ p["Wo"]
+                ls = optax.softmax_cross_entropy_with_integer_labels(
+                    logits, y
+                )
+                return jnp.sum(ls * m) / jnp.sum(m)
 
-        loss, grads = jax.value_and_grad(loss_fn)(params)
-        updates, opt_state = opt.update(grads, opt_state)
-        return (optax.apply_updates(params, updates), opt_state)
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            updates, opt_state = opt.update(grads, opt_state)
+            return (optax.apply_updates(params, updates), opt_state)
+
+        return train_step
 
     sec = timed_loop(
-        train_step, (params, opt_state), consts=(G, x, y, m), iters=30
+        make_train_step(True), (params, opt_state), consts=(G, x, y, m),
+        iters=30,
     )
+    if decompose and n_devices > 1:
+        # no-exchange ablation: identical shapes/compute, collective
+        # replaced by the local buffer -> the difference IS the collective
+        sec_nx = timed_loop(
+            make_train_step(False), (params, opt_state),
+            consts=(G, x, y, m), iters=30,
+        )
+        from sgracex1_tpu.parallel.comm_model import halo_comm
+
+        # 2 layers, fwd + transposed bwd each
+        comm = halo_comm(G, 64, backward=True) + halo_comm(G, 64, backward=True)
+        print(
+            f"    decompose: full {sec*1e3:8.2f} ms  no-exchange "
+            f"{sec_nx*1e3:8.2f} ms  -> collective {max(sec-sec_nx,0)*1e3:6.2f}"
+            f" ms/step over {comm.bytes_out/1e6:.2f} MB/dev "
+            f"({comm.bytes_out/max(sec-sec_nx,1e-12)/1e9:.1f} GB/s effective)"
+        )
     # fwd (2 layers) + bwd (2 transposed layers) touch each edge 4x/step,
     # but report plain adjacency edges/s for comparability with bench_spmm
     eps = A.nnz / sec
@@ -124,7 +152,7 @@ def main():
     for ndev in (2, 4, 8):
         if ndev <= jax.device_count():
             bench(ndev, data, A, base, balance=False)
-            bench(ndev, data, A, base, balance=True)
+            bench(ndev, data, A, base, balance=True, decompose=True)
 
 
 if __name__ == "__main__":

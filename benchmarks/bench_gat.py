@@ -47,12 +47,12 @@ def bench_dataset(name: str, F: int = 32):
         o = gat_attention_agg_ref(A, s1, s2, wh)
         return wh + o[: wh.shape[0]] * 1e-12
 
-    for tb in (128, 256, 512):
+    for tb in (128, 256, 512, 1024):
         B = jax.device_put(bsr_from_sparse(adj_p, tb=tb, dtype=jnp.float32))
         sec = timed_loop(step_flash, Wh, consts=(B, s1, s2), iters=1000)
         rl = cost_flash_gat(B, F).fmt(sec)
         print(
-            f"  flash tb={tb:3d}: {sec * 1e3:8.4f} ms  "
+            f"  flash tb={tb:4d}: {sec * 1e3:8.4f} ms  "
             f"{adj.nnz / sec / 1e6:7.0f} M edges/s   {rl}"
         )
     sec = timed_loop(step_edge, Wh, consts=(A_dev, s1, s2), iters=300)

@@ -50,6 +50,18 @@ def measure(name: str, step, ops_per_elt: float, transc_per_elt: float = 0.0):
     return sec
 
 
+def _chain(k):
+    """A k-op dependent mul/add chain (k even), bounded values."""
+
+    def step(x):
+        for _ in range(k // 2):
+            x = x * 1.0000001
+            x = x + 1e-7
+        return x
+
+    return step
+
+
 def main():
     header("VPU calibration (elementwise + transcendental peaks)")
 
@@ -97,12 +109,21 @@ def main():
     measure("tanh(+add)", step_tanh, 1.0, transc_per_elt=1.0)
 
     n = SHAPE[0] * SHAPE[1]
-    peak_vpu = 8.0 * n / sec8
-    # subtract the mul's slot from the exp measurement
-    peak_exp = n / max(sec_exp - sec8 / 8.0, 1e-12)
-    peak_exp2 = n / max(sec_exp2 - sec8 / 8.0, 1e-12)
+
+    # two-point chains: the SLOPE removes per-iteration loop overhead
+    # (carry bookkeeping, dispatch), which inflates single-chain estimates
+    sec4 = measure("4-op chain", _chain(4), 4.0)
+    sec16 = measure("16-op chain", _chain(16), 16.0)
+    sec32 = measure("32-op chain", _chain(32), 32.0)
+    per_op = (sec32 - sec4) / 28.0
+    overhead = sec4 - 4 * per_op
+    peak_vpu = n / per_op
+    # exp cost net of the loop overhead and its companion mul
+    peak_exp = n / max(sec_exp - overhead - per_op, 1e-12)
+    peak_exp2 = n / max(sec_exp2 - overhead - per_op, 1e-12)
     print(
-        f"\n  => V5E_PEAK_VPU_OPS ~ {peak_vpu:.2e} op/s, "
+        f"\n  => loop overhead ~{overhead*1e6:.2f} us/iter; "
+        f"V5E_PEAK_VPU_OPS ~ {peak_vpu:.2e} op/s, "
         f"V5E_PEAK_TRANSC ~ {peak_exp:.2e} exp/s "
         f"(exp2 {peak_exp2:.2e}/s)"
     )

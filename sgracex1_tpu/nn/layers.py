@@ -35,7 +35,6 @@ from sgracex1_tpu.ops.fused_gnn import relu_hw, gnn_layer_quant_backward
 from sgracex1_tpu.ops.dispatch import (
     PreparedAdjacency,
     agg_matmul,
-    agg_matmul_with_vals,
     map_adjacency_vals,
 )
 from sgracex1_tpu.quant.affine import (
@@ -55,13 +54,6 @@ def _agg(A, H):
     if isinstance(A, PreparedAdjacency):
         return agg_matmul(A, H)
     return spmm(A, H)
-
-
-def _agg_vals(A, vals, H):
-    """A(vals) @ H with runtime edge values for either container."""
-    if isinstance(A, PreparedAdjacency):
-        return agg_matmul_with_vals(A, vals, H)
-    return spmm(A.with_vals(vals), H)
 
 
 def _edges(A) -> SparseMatrix:
@@ -229,39 +221,34 @@ class GATConv(nn.Module, _AmaxMixin):
             if self.exact_gradients
             else jax.lax.stop_gradient(Wh_heads)
         )
-        # fused flash-attention kernel over BSR tiles when the adjacency was
-        # prepared with the bsr backend (gather-free; E/S read-back needs
-        # the per-edge path)
+        # per-node score halves, ALL heads batched (no Python head loop)
+        S1 = jnp.einsum("nhf,hf->nh", Wh_sg, a_src)  # [N, H]
+        S2 = jnp.einsum("nhf,hf->nh", Wh_sg, a_dst)
+        # fused flash-attention kernel over BSR tiles when the adjacency
+        # was prepared with them (gather-free aggregation in fwd AND bwd)
         use_flash = (
-            isinstance(A, PreparedAdjacency)
-            and A.flash_tiles is not None
-            and not return_attention
+            isinstance(A, PreparedAdjacency) and A.flash_tiles is not None
         )
         if use_flash:
             # fully fused fwd+bwd, ALL heads in one kernel per pass: both
             # directions stream BSR tiles through the MXU; no per-edge
             # gather in the training step
-            S1 = jnp.einsum("nhf,hf->nh", Wh_sg, a_src)  # [N, H]
-            S2 = jnp.einsum("nhf,hf->nh", Wh_sg, a_dst)
             out = gat_attention_agg_fused(
                 A.flash_tiles, S1, S2, Wh_heads, self.alpha
             ).reshape(-1, F * H)
         else:
-            outs, e_heads, s_heads = [], [], []
-            for h in range(H):
-                s1 = jnp.dot(Wh_sg[:, h, :], a_src[h],
-                             preferred_element_type=jnp.float32)
-                s2 = jnp.dot(Wh_sg[:, h, :], a_dst[h],
-                             preferred_element_type=jnp.float32)
-                e = leaky_relu(
-                    jnp.take(s1, A_e.rows) + jnp.take(s2, A_e.cols),
-                    self.alpha,
-                )
-                s = edge_softmax(A_e, e)
-                e_heads.append(e)
-                s_heads.append(s)
-                outs.append(_agg_vals(A, s, Wh_heads[:, h, :]))
-            out = jnp.concatenate(outs, axis=-1)  # [N, F*H]
+            # batched edge path: heads ride the vector lanes ([E, H])
+            e_all = leaky_relu(
+                jnp.take(S1, A_e.rows, axis=0)
+                + jnp.take(S2, A_e.cols, axis=0),
+                self.alpha,
+            )
+            s_all = edge_softmax(A_e, e_all)
+            out = jax.ops.segment_sum(
+                jnp.take(Wh_heads, A_e.cols, axis=0) * s_all[:, :, None],
+                A_e.rows,
+                num_segments=A_e.n_rows,
+            ).reshape(-1, F * H)
 
         if relu:
             out = relu_hw(out)
@@ -270,6 +257,15 @@ class GATConv(nn.Module, _AmaxMixin):
         if return_attention:
             # per-edge logits / probabilities [H, E_pad] — the demo
             # bitstream's E / S read-back buffers (sgrace.py:498-539);
-            # reassemble densely with ops.fused_gnn.edges_to_dense
-            return out, (jnp.stack(e_heads), jnp.stack(s_heads))
+            # reassemble densely with ops.fused_gnn.edges_to_dense.
+            # O(E) side computation (two gathers + a segment softmax),
+            # batched over heads — the AGGREGATION stays on the flash tile
+            # kernels; only the read-back buffers touch the edge list.
+            e_all = leaky_relu(
+                jnp.take(S1, A_e.rows, axis=0)
+                + jnp.take(S2, A_e.cols, axis=0),
+                self.alpha,
+            )
+            s_all = edge_softmax(A_e, e_all)
+            return out, (e_all.T, s_all.T)
         return out

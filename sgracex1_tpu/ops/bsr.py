@@ -127,18 +127,34 @@ def bsr_from_sparse(
         # 6142x512x512 hybrid tile set); this path is ~1 s upload + a
         # one-off compile + ~0.1 s scatter.
         inv = np.searchsorted(uniq, key).astype(np.int32)
-        inv_d = jnp.asarray(inv)
-        rr_d = jnp.asarray((r % tb).astype(np.int32))
-        cc_d = jnp.asarray((c % tb).astype(np.int32))
-        v_d = jnp.asarray(v)
+        # bucket the edge-array length as well (pad with the OOB sentinel
+        # T, which every batch drops) — the edge count is part of the
+        # compiled program's signature, and an exact-nnz shape would defeat
+        # the compile-cache reuse the tile bucketing above buys
+        E = len(inv)
+        E_b = _round_up(max(E, 1), 1 << 18)
+        pad = E_b - E
+        inv_d = jnp.asarray(np.pad(inv, (0, pad), constant_values=1 << 30))
+        rr_d = jnp.asarray(
+            np.pad((r % tb).astype(np.int32), (0, pad))
+        )
+        cc_d = jnp.asarray(
+            np.pad((c % tb).astype(np.int32), (0, pad))
+        )
+        v_d = jnp.asarray(np.pad(v, (0, pad)))
         # batch the f32 scatter scratch to <=1 GB so peak device memory is
         # bounded (out-of-batch edges are dropped via an OOB sentinel; one
-        # compiled program serves every batch because the offset is traced)
+        # compiled program serves every batch because the offset is traced).
+        # T is a STATIC arg — bucket it (multiple of 256, or exactly the
+        # batch cap) so the compiled program is reused across graphs and
+        # hits the relay's cross-process compile cache instead of paying
+        # ~15-40 s per fresh tile count.
         batch = max(1, int(_DEVICE_BUILD_BATCH_BYTES) // (tb * tb * 4))
         if T <= batch:
+            T_b = min(batch, _round_up(T, 256))
             dev_tiles = _device_tile_build(
-                T, tb, np_dtype, mask, inv_d, rr_d, cc_d, v_d, 0
-            )
+                T_b, tb, np_dtype, mask, inv_d, rr_d, cc_d, v_d, 0
+            )[:T]
         else:
             parts = [
                 _device_tile_build(
@@ -230,31 +246,64 @@ def bsr_mask_from_sparse(
     )
 
 
-def bsr_bitmask_from_sparse(A: SparseMatrix, *, tb: int = 1024) -> BSRMatrix:
-    """BSR of the edge mask packed to 1 BIT per entry — the storage the
-    reference's 1-bit adjacency quantization implies (quantization_qbits
-    with qbits=1, sgrace.py:62-68), 32x less HBM than f32 tiles.
+def pack_mask_bsr(B: BSRMatrix, *, batch_tiles: int | None = None) -> BSRMatrix:
+    """int8 {0,1} mask tiles [T, tb, tb] -> 1-bit packed uint8
+    [T, tb, tb/8], packed ON DEVICE in bounded batches (the int32 shift
+    intermediates would be 4x the mask bytes if materialized whole).
 
     Pack layout is bit-plane-major along columns: byte i bit j holds
     column ``j*(tb/8) + i``, so the kernel unpack is 8 shift-and-mask ops
     plus a lane concatenation of eight [tb, tb/8] planes — no element
     interleave, which Mosaic cannot relayout cheaply. With tb=1024 each
-    plane is exactly one 128-lane tile wide. ``tiles`` becomes
-    uint8 [T, tb, tb/8]; the flash kernel detects the packed shape.
-
-    Measured (pubmed, tb=1024, on-chip): 0.860 ms vs int8's 0.847 ms —
-    the kernel is VPU-bound, so the win is the 8x adjacency HBM capacity
-    (fits ~8x larger graphs per chip), not wall time."""
+    plane is exactly one 128-lane tile wide."""
+    tb = B.tb
     assert tb % 8 == 0 and (tb // 8) % 128 == 0, "tb/8 must be lane-aligned"
-    B = bsr_from_sparse(A, tb=tb, dtype=jnp.float32)
-    m = (np.asarray(B.tiles) > 0).astype(np.uint8)  # [T, tb, tb]
+    T = B.num_tiles
+    if batch_tiles is None:
+        # <=512 MB of int32 intermediate per batch
+        batch_tiles = max(1, (512 << 20) // (tb * tb * 4))
+    parts = [
+        _pack_mask_batch(B.tiles[b0 : min(T, b0 + batch_tiles)])
+        for b0 in range(0, T, batch_tiles)
+    ]
+    tiles = parts[0] if len(parts) == 1 else jnp.concatenate(parts)
+    return dataclasses.replace(B, tiles=tiles)
+
+
+@jax.jit
+def _pack_mask_batch(m: jax.Array) -> jax.Array:
+    T, tb, _ = m.shape
     tb8 = tb // 8
-    # packed[:, :, i] bit j = m[:, :, j*tb8 + i]
-    planes = m.reshape(m.shape[0], tb, 8, tb8)  # axis 2 = bit plane j
-    packed = np.zeros((m.shape[0], tb, tb8), np.uint8)
-    for j in range(8):
-        packed |= planes[:, :, j, :] << j
-    return dataclasses.replace(B, tiles=jnp.asarray(packed))
+    planes = m.astype(jnp.int32).reshape(T, tb, 8, tb8)
+    packed = planes[:, :, 0, :]
+    for j in range(1, 8):
+        packed = packed | (planes[:, :, j, :] << j)
+    return packed.astype(jnp.uint8)
+
+
+def bsr_bitmask_from_sparse(
+    A: SparseMatrix, *, tb: int = 1024,
+    cover_rows: bool = False, cover_cols: bool = False,
+    device_build: bool | None = None,
+) -> BSRMatrix:
+    """BSR of the edge mask packed to 1 BIT per entry — the storage the
+    reference's 1-bit adjacency quantization implies (quantization_qbits
+    with qbits=1, sgrace.py:62-68), 32x less HBM than f32 tiles, 8x less
+    than int8 masks. Consumed by both the flash-GAT kernel and
+    bsr_spmm_pallas (both detect the packed shape and unpack in-kernel).
+
+    Build path: int8 mask tiles (device-built for large tile sets) packed
+    on device — no f32 or host-side tile materialization, so this is
+    usable at the 1M-node scale where the tile set is multi-GB.
+
+    On the flash kernel the win is capacity (the kernel is VPU-bound:
+    pubmed tb=1024 0.860 ms packed vs 0.847 int8); on the HBM-bound BSR
+    aggregation at 1M-node scale the 8x fewer tile bytes are wall-time."""
+    B = bsr_mask_from_sparse(
+        A, tb=tb, cover_rows=cover_rows, cover_cols=cover_cols,
+        device_build=device_build,
+    )
+    return pack_mask_bsr(B)
 
 
 def unpack_mask_tile(t: jax.Array, tb: int) -> jax.Array:
@@ -263,9 +312,16 @@ def unpack_mask_tile(t: jax.Array, tb: int) -> jax.Array:
     Works on int32 (v5e has no int8/uint8 vector compare) and concatenates
     the eight bit planes along lanes, matching bsr_bitmask_from_sparse's
     pack layout."""
+    return unpack_mask01_tile(t, tb) > 0.5
+
+
+def unpack_mask01_tile(t: jax.Array, tb: int) -> jax.Array:
+    """In-kernel unpack of one packed mask tile [tb, tb/8] -> f32 {0,1}
+    [tb, tb] — the additive-mask form the flash and BSR kernels consume
+    (shift-and-mask already yields {0,1}; no compare needed)."""
     ti = t.astype(jnp.int32) & 0xFF
     planes = [((ti >> j) & 1) for j in range(8)]
-    return jnp.concatenate(planes, axis=-1) > 0
+    return jnp.concatenate(planes, axis=-1).astype(jnp.float32)
 
 
 def bsr_spmm_xla(B: BSRMatrix, H: jax.Array) -> jax.Array:
@@ -289,7 +345,14 @@ def bsr_spmm_xla(B: BSRMatrix, H: jax.Array) -> jax.Array:
 
 def bsr_transpose(B: BSRMatrix) -> BSRMatrix:
     """BSR of A^T: swap block coordinates, transpose each tile, resort by
-    row block. Host-side when given numpy tiles, traceable otherwise."""
+    row block. Host-side when given numpy tiles, traceable otherwise.
+    1-bit packed tiles cannot be element-transposed (bits are packed along
+    columns) — build the transposed plan from the transposed edge list."""
+    if B.tiles.shape[-1] != B.tb:
+        raise ValueError(
+            "bsr_transpose cannot transpose 1-bit packed tiles; build the "
+            "transposed plan via bsr_bitmask_from_sparse(A.transpose(), ...)"
+        )
     # tiles are (rb, cb)-sorted by construction, so a stable sort on cb
     # yields (cb, rb) order (int64 keys are unavailable under jax's
     # default x64-disabled config)
@@ -304,7 +367,7 @@ def bsr_transpose(B: BSRMatrix) -> BSRMatrix:
     )
 
 
-def _bsr_kernel(tile_rb, tile_cb, a_ref, h_ref, out_ref):
+def _bsr_kernel(tile_rb, tile_cb, a_ref, h_ref, out_ref, tb: int):
     g = pl.program_id(0)
     first = jnp.logical_or(g == 0, tile_rb[g] != tile_rb[jnp.maximum(g - 1, 0)])
 
@@ -312,8 +375,11 @@ def _bsr_kernel(tile_rb, tile_cb, a_ref, h_ref, out_ref):
     def _():
         out_ref[:] = jnp.zeros_like(out_ref)
 
+    a = a_ref[:]
+    if a.shape[-1] == tb // 8 and tb > 8:  # 1-bit packed mask tile
+        a = unpack_mask01_tile(a, tb)
     out_ref[:] += jax.lax.dot_general(
-        a_ref[:].astype(jnp.bfloat16),
+        a.astype(jnp.bfloat16),
         h_ref[:].astype(jnp.bfloat16),
         (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
@@ -326,13 +392,20 @@ def bsr_spmm_pallas(
     """out = A @ H with one dense-tile matmul per grid step (tiles are
     sorted by row block, so each output block accumulates over a
     contiguous run of steps — the same revisit pattern as a matmul
-    k-loop)."""
+    k-loop). Consumes value tiles, int8 {0,1} mask tiles, and 1-bit
+    packed mask tiles (bsr_bitmask_from_sparse) — the packed form reads
+    8x fewer tile bytes, the decisive lever when the kernel is HBM-bound
+    (the 1M power-law regime, BENCH_r02)."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     tb = B.tb
     n_ct = _round_up(B.n_cols, tb) // tb
     n_rt = B.n_row_tiles
     P = H.shape[1]
+    # cast H OUTSIDE the kernel: the matmul consumes bf16 either way, and
+    # streaming bf16 blocks halves the per-tile H DMA (the kernel is
+    # DMA-bound at large T — measured ~220-300 GB/s effective)
+    H = H.astype(jnp.bfloat16)
     if H.shape[0] != n_ct * tb:
         H = jnp.pad(H, ((0, n_ct * tb - H.shape[0]), (0, 0)))
 
@@ -340,14 +413,16 @@ def bsr_spmm_pallas(
         num_scalar_prefetch=2,
         grid=(B.num_tiles,),
         in_specs=[
-            pl.BlockSpec((1, tb, tb), lambda g, rbs, cbs: (g, 0, 0)),
+            pl.BlockSpec(
+                (1, tb, B.tiles.shape[-1]), lambda g, rbs, cbs: (g, 0, 0)
+            ),
             pl.BlockSpec((tb, P), lambda g, rbs, cbs: (cbs[g], 0)),
         ],
         out_specs=pl.BlockSpec((tb, P), lambda g, rbs, cbs: (rbs[g], 0)),
     )
 
     def kernel(tile_rb, tile_cb, a_ref, h_ref, out_ref):
-        _bsr_kernel(tile_rb, tile_cb, a_ref[0], h_ref, out_ref)
+        _bsr_kernel(tile_rb, tile_cb, a_ref[0], h_ref, out_ref, tb)
 
     out = pl.pallas_call(
         kernel,
@@ -362,6 +437,73 @@ def bsr_spmm_pallas(
         ),
     )(B.tile_rb, B.tile_cb, B.tiles, H)
     return out[: B.n_rows]
+
+
+def _bsr_int8_kernel(tile_rb, tile_cb, a_ref, h_ref, out_ref):
+    g = pl.program_id(0)
+    first = jnp.logical_or(g == 0, tile_rb[g] != tile_rb[jnp.maximum(g - 1, 0)])
+
+    @pl.when(first)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    a = a_ref[0]  # int8, unsigned grid shifted by -128
+    h = h_ref[:]  # int8, signed grid
+    acc = jax.lax.dot_general(
+        a, h, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
+    )
+    # unshift: Aq = As + 128 per PRESENT tile (absent tiles are true zeros
+    # of A and contribute nothing); quant/int8.matmul_unsigned_x_signed is
+    # the dense form of the same identity
+    corr = 128 * jnp.sum(h.astype(jnp.int32), axis=0, keepdims=True)
+    out_ref[:] += acc + corr
+
+
+def bsr_spmm_int8(
+    B: BSRMatrix, Hq: jax.Array, *, interpret: bool | None = None
+) -> jax.Array:
+    """Full-integer ``Aq @ Hq`` on BSR tiles: int8 x int8 -> int32 on the
+    MXU, one tile matmul per grid step.
+
+    ``B.tiles``: int8 adjacency values on the UNSIGNED grid stored shifted
+    by -128 (quant/int8 convention; build with
+    quant.int8.bsr_int8_from_sparse — absent positions hold -128 = shifted
+    zero). ``Hq``: signed int8 [N, P]. Returns the exact int32 accumulator
+    [n_rt*tb, P]; the caller requantizes/dequantizes — the TPU-native form
+    of the reference's quantized engine at its full supported problem size
+    (sgrace.py:334-365,1296-1845), with no dense N x N anywhere.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    tb = B.tb
+    n_ct = _round_up(B.n_cols, tb) // tb
+    n_rt = B.n_row_tiles
+    P = Hq.shape[1]
+    if Hq.shape[0] != n_ct * tb:
+        Hq = jnp.pad(Hq, ((0, n_ct * tb - Hq.shape[0]), (0, 0)))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(B.num_tiles,),
+        in_specs=[
+            pl.BlockSpec((1, tb, tb), lambda g, rbs, cbs: (g, 0, 0)),
+            pl.BlockSpec((tb, P), lambda g, rbs, cbs: (cbs[g], 0)),
+        ],
+        out_specs=pl.BlockSpec((tb, P), lambda g, rbs, cbs: (rbs[g], 0)),
+    )
+    out = pl.pallas_call(
+        _bsr_int8_kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_rt * tb, P), jnp.int32),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B.num_tiles * tb * tb * P,
+            bytes_accessed=B.num_tiles * (tb * tb + tb * P) * 1
+            + n_rt * tb * P * 4,
+            transcendentals=0,
+        ),
+    )(B.tile_rb, B.tile_cb, B.tiles, Hq)
+    return out
 
 
 @_functools.partial(jax.custom_vjp)

@@ -112,29 +112,45 @@ _HBM_BPS = 800e9
 _STEP_S = 0.7e-6
 _PALLAS_GROUP_S = 7e-6  # one-hot kernel, be=1024 (measured pubmed/citeseer)
 _XLA_EDGE_S = 12e-9  # gather + segment-sum per edge (measured, P=128)
+_MXU_FLOPS = 180e12  # sustained bf16 (matmul microbench ~190 TF/s peak)
+_VPU_OPS = 3.4e12  # measured elementwise f32 (benchmarks/bench_vpu_cal.py)
 
 
-def _tile_cost_s(tb: int, itemsize: int) -> float:
-    """Seconds to process one dense BSR tile: tile bytes + H-block bytes
-    over HBM bandwidth, plus the per-grid-step overhead."""
-    return (tb * tb * itemsize + tb * 128 * 2 * 2) / _HBM_BPS + _STEP_S
+def _tile_itemsize(tb: int, rank1: bool, dense_itemsize: int) -> float:
+    """Bytes per tile element: 1-bit packed masks when the rank-1 pack is
+    lane-aligned (tb/8 a multiple of 128), int8 masks otherwise; value
+    tiles carry the dense dtype."""
+    if not rank1:
+        return float(dense_itemsize)
+    return 0.125 if tb % 8 == 0 and (tb // 8) % 128 == 0 else 1.0
+
+
+def _tile_cost_s(tb: int, itemsize: float) -> float:
+    """Seconds to process one dense BSR tile: max of DMA time (tile bytes +
+    H-block read + output write) and compute time (MXU matmul + the VPU
+    unpack for 1-bit packed tiles), plus the per-grid-step overhead —
+    Mosaic double-buffers block DMA against compute."""
+    dma = (tb * tb * itemsize + tb * 128 * 2 * 2) / _HBM_BPS
+    mxu = 2.0 * tb * tb * 128 / _MXU_FLOPS
+    vpu = (tb * tb * 4.0 / _VPU_OPS) if itemsize < 1 else 0.0
+    return max(dma, mxu + vpu) + _STEP_S
 
 
 def _estimate_backend_costs(
     A: SparseMatrix, dense_dtype, tbs=(128, 256, 512, 1024),
-    tile_itemsize: int | None = None,
+    rank1: bool = False,
 ):
     """Rough per-aggregation seconds for each backend — calibrated against
     measured sweeps (citeseer: dense 19us > bsr; pubmed RCM: bsr512 0.58ms
     < pallas 0.75ms < dense 1.04ms). Lane width 128 is the padded P.
 
-    ``tile_itemsize`` overrides the BSR/hybrid tile element size (1 when a
-    rank-1 factorization lets tiles be int8 masks).
+    ``rank1`` marks a detected rank-1 factorization: tiles are stored as
+    {0,1} masks — int8, or 1-bit packed when tb/8 is lane-aligned
+    (_tile_itemsize).
 
     Returns (costs dict, best bsr tile size, best (tile size, nnz threshold)
     for the hybrid split)."""
     itemsize = jnp.dtype(dense_dtype).itemsize
-    t_item = itemsize if tile_itemsize is None else tile_itemsize
     n = max(A.n_rows, A.n_cols)
     r = np.asarray(A.rows[: A.nnz])
     c = np.asarray(A.cols[: A.nnz])
@@ -151,7 +167,7 @@ def _estimate_backend_costs(
         )
         if len(counts) == 0:
             counts = np.ones(1, np.int64)
-        tc = _tile_cost_s(tb, t_item)
+        tc = _tile_cost_s(tb, _tile_itemsize(tb, rank1, itemsize))
         t = len(counts) * tc
         if t < best_t:
             best_tb, best_t = tb, t
@@ -234,14 +250,15 @@ def prepare_adjacency(
         from sgracex1_tpu.graph.normalize import rank1_factor
 
         fac = rank1_factor(A)
-    tile_itemsize = 1 if fac is not None else jnp.dtype(dense_dtype).itemsize
     hybrid_split = None
     if method in ("auto", "hybrid"):
         costs, best_tb, best_hy = _estimate_backend_costs(
-            A, dense_dtype, tile_itemsize=tile_itemsize
+            A, dense_dtype, rank1=fac is not None
         )
         if method == "hybrid":
-            hybrid_split = best_hy
+            # an explicit tb overrides the cost model's tile-size choice
+            # (threshold still derived from the per-tile cost at that tb)
+            hybrid_split = None if tb is not None else best_hy
         else:
             if n * n * jnp.dtype(dense_dtype).itemsize > dense_max_bytes:
                 costs.pop("dense")
@@ -257,24 +274,47 @@ def prepare_adjacency(
         if for_gat and prep.flash_tiles is None:
             from sgracex1_tpu.ops.bsr import bsr_mask_from_sparse
 
-            gat_tb = 256 if n <= 8192 else 512  # measured flash sweet spots
+            # measured flash sweet spots (r3 sweep: pubmed tb=1024 0.72 ms
+            # vs 512's 1.02 — fewer grid steps win on the VPU-bound kernel)
+            gat_tb = 256 if n <= 8192 else 1024
             return dataclasses.replace(
                 prep,
                 gat_bsr=jax.device_put(bsr_mask_from_sparse(A, tb=gat_tb)),
             )
         return prep
 
-    def _tiles(M: SparseMatrix, tile_tb: int) -> BSRMatrix:
-        """Value tiles, or exact int8 mask tiles when rank-1-factored."""
+    def _tiles_pair(
+        M: SparseMatrix, tile_tb: int
+    ) -> tuple[BSRMatrix, BSRMatrix]:
+        """(forward, transposed) tile plans: value tiles, int8 mask tiles
+        when rank-1-factored, 1-bit packed masks when additionally
+        lane-aligned (8x fewer tile bytes — decisive when the aggregation
+        is HBM-bound). Packed tiles cannot be element-transposed, so the
+        transposed plan is built from the transposed edge list."""
         if fac is not None:
-            from sgracex1_tpu.ops.bsr import bsr_mask_from_sparse
+            from sgracex1_tpu.ops.bsr import (
+                bsr_bitmask_from_sparse,
+                bsr_mask_from_sparse,
+            )
 
-            return bsr_mask_from_sparse(
+            if _tile_itemsize(tile_tb, True, 1) < 1:
+                B = bsr_bitmask_from_sparse(
+                    M, tb=tile_tb, cover_rows=True, cover_cols=True
+                )
+                Bt = bsr_bitmask_from_sparse(
+                    M.transpose(), tb=tile_tb, cover_rows=True,
+                    cover_cols=True,
+                )
+                return jax.device_put(B), jax.device_put(Bt)
+            B = bsr_mask_from_sparse(
                 M, tb=tile_tb, cover_rows=True, cover_cols=True
             )
-        return bsr_from_sparse(
-            M, tb=tile_tb, dtype=dense_dtype, cover_rows=True, cover_cols=True
-        )
+        else:
+            B = bsr_from_sparse(
+                M, tb=tile_tb, dtype=dense_dtype, cover_rows=True,
+                cover_cols=True,
+            )
+        return jax.device_put(B), bsr_transpose(B)
 
     def _r1_fields() -> dict:
         if fac is None:
@@ -286,33 +326,41 @@ def prepare_adjacency(
     if method == "hybrid":
         h_tb, h_thresh = hybrid_split or (
             tb,
-            int(np.ceil(_tile_cost_s(tb, tile_itemsize) / _XLA_EDGE_S)),
+            int(
+                np.ceil(
+                    _tile_cost_s(
+                        tb,
+                        _tile_itemsize(
+                            tb, fac is not None,
+                            jnp.dtype(dense_dtype).itemsize,
+                        ),
+                    )
+                    / _XLA_EDGE_S
+                )
+            ),
         )
         part, rest = split_by_tile_density(A, h_tb, h_thresh)
-        # one host scatter; the transposed plan is a device-side tile
-        # transpose + reorder (bsr_transpose), not a second multi-GB build.
-        # cover_cols guarantees the transpose still row-covers.
-        B = _tiles(part, h_tb)
+        B, Bt = _tiles_pair(part, h_tb)
         return _finish(PreparedAdjacency(
             A=A,
             dense=None,
             plan=None,
             plan_t=None,
-            bsr=jax.device_put(B),
-            bsr_t=bsr_transpose(B),
+            bsr=B,
+            bsr_t=Bt,
             rest=jax.device_put(rest) if rest.nnz else None,
             kind="hybrid",
             **_r1_fields(),
         ))
     if method == "bsr":
-        B = _tiles(A, tb)
+        B, Bt = _tiles_pair(A, tb)
         return _finish(PreparedAdjacency(
             A=A,
             dense=None,
             plan=None,
             plan_t=None,
-            bsr=jax.device_put(B),
-            bsr_t=bsr_transpose(B),
+            bsr=B,
+            bsr_t=Bt,
             kind="bsr",
             **_r1_fields(),
         ))
@@ -436,12 +484,22 @@ def agg_matmul_with_vals(
     prep: PreparedAdjacency, vals: jax.Array, H: jax.Array
 ) -> jax.Array:
     """out = A(vals) @ H with runtime edge values (attention weights) in the
-    original edge order. Differentiable in both vals and H."""
+    original edge order. Differentiable in both vals and H.
+
+    Backend note: only the pallas plan substitutes values for free (the
+    plan stores per-edge values in its group layout — a permutation). For
+    bsr/hybrid/dense, rebuilding value TILES per call would write+read the
+    whole tile set every invocation (T*tb*tb*4 bytes — e.g. ~9 GB/call for
+    the 1M-node hybrid plan), strictly worse than the ~12 ns/edge gather
+    path, so those backends take the edge path. Attention aggregation on
+    tile backends should use the fused flash kernel
+    (ops/flash_gat.gat_attention_agg_fused) instead, which never needs
+    value substitution — GATConv does this automatically via flash_tiles.
+    """
     if prep.kind == "pallas":
         return _pallas_agg_vals(prep.A, prep.plan, prep.plan_t, vals, H).astype(
             H.dtype
         )
-    # dense backend has no cheap value substitution; use the edge path
     return spmm(prep.A.with_vals(vals), H)
 
 

@@ -57,9 +57,26 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from sgracex1_tpu.graph.csr import SparseMatrix
-from sgracex1_tpu.ops.bsr import BSRMatrix, unpack_mask_tile
+from sgracex1_tpu.ops.bsr import BSRMatrix, unpack_mask01_tile
 
 _NEG_INF = -9e15  # reference mask value (sgrace.py:638)
+
+# VPU cost facts measured on the attached v5e (benchmarks/bench_vpu_cal.py):
+# simple elementwise ops ~3.4 T/s, compare+select ~1.7 slots, exp ~13 slots
+# (and exp2 is NOT cheaper than exp — 223 vs 264 G/s). The kernels below are
+# therefore written to minimize selects and make every exp optional-fast:
+#   - masked scores hold the finite _MASKED fill, and the running max is
+#     initialized to _M_INIT, so ``exp(e - m)`` underflows to exact 0.0 at
+#     masked entries WITHOUT a select: m >= _M_INIT always, and
+#     _MASKED - _M_INIT = -9.999e8 is far below f32 exp's ~-88 underflow
+#     point. Real scores below _M_INIT (|logit| > 1e5) would lose the
+#     empty-row guarantee, but GAT logits are O(10).
+#   - LeakyReLU is ``max(e, alpha*e)`` (mul+max), not compare+select.
+#   - the {0,1} mask applies additively — ``(e - BIG) + m01*BIG`` — two
+#     arithmetic ops instead of compare+select.
+_MASKED = -1e9
+_M_INIT = -1e5
+_MASK_BIG = 1e9
 
 
 def _round_up(x: int, m: int) -> int:
@@ -84,19 +101,38 @@ def _hmaj(x):
     return jnp.transpose(x, (1, 0, 2))
 
 
-def _tile_mask(a_ref, tb: int):
-    """Adjacency tile -> bool mask; handles f32/int8 value tiles and
-    1-bit packed tiles (detected by the narrow last dim)."""
+def _tile_mask01(a_ref, tb: int):
+    """Adjacency tile -> f32 {0,1} mask, for the additive-mask form.
+
+    int8 mask tiles hold exactly {0,1}, so the cast alone suffices (no
+    compare — Mosaic/v5e has no int8 vector compare anyway); 1-bit packed
+    tiles (detected by the narrow last dim) unpack to {0,1} planes; value
+    tiles need the > 0 test."""
     if a_ref.shape[-1] == tb // 8 and tb > 8:
-        return unpack_mask_tile(a_ref[0], tb)
-    # cast before comparing: Mosaic/v5e has no int8 vector compare, and the
-    # cast is free relative to the 4x HBM saving of int8 mask tiles
-    return a_ref[0].astype(jnp.float32) > 0
+        return unpack_mask01_tile(a_ref[0], tb)
+    if a_ref.dtype == jnp.int8:
+        return a_ref[0].astype(jnp.float32)
+    return (a_ref[0].astype(jnp.float32) > 0).astype(jnp.float32)
+
+
+# Schraudolph fast exp: exp(x) ~ bitcast_f32(int32(A*x + B)) — one fma, one
+# clamp, one convert (~4 VPU slots vs ~13 for exp; bench_vpu_cal.py). The
+# clamp to >= 0 maps deep-negative x to exact 0.0 instead of bit garbage
+# (softmax arguments are always <= 0 here: e - m with m >= rowmax(e)).
+# B tuned for minimal max relative error: 2.98% over x in [-30, 0].
+_FEXP_A = 12102203.161561485  # 2^23 / ln 2
+_FEXP_B = 1064986816.0  # 127 * 2^23 - 366400
+
+
+def _fast_exp(x):
+    i = jnp.maximum(_FEXP_A * x + _FEXP_B, 0.0).astype(jnp.int32)
+    return jax.lax.bitcast_convert_type(i, jnp.float32)
 
 
 def _flash_gat_kernel(
     tile_rb, tile_cb, a_ref, s1_ref, s2_ref, wh_ref, out_ref,
-    m_ref, l_ref, acc_ref, *, alpha: float, m_out=None, l_out=None,
+    m_ref, l_ref, acc_ref, *, alpha: float, fast_exp: bool = False,
+    m_out=None, l_out=None,
 ):
     # grid = (H, num_tiles): dim 0 is the head, dim 1 streams tiles; the
     # scratch accumulators reset at every row-block start, so head
@@ -110,20 +146,24 @@ def _flash_gat_kernel(
 
     @pl.when(first)
     def _():
-        m_ref[:] = jnp.full_like(m_ref, _NEG_INF)
+        m_ref[:] = jnp.full_like(m_ref, _M_INIT)
         l_ref[:] = jnp.zeros_like(l_ref)
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
     tb = s1_ref.shape[1]
-    mask = _tile_mask(a_ref, tb)  # [tb, tb]
+    m01 = _tile_mask01(a_ref, tb)  # [tb, tb] f32 {0,1}
     e = s1_ref[0] + s2_ref[0].reshape(1, -1)  # [tb, 1] + [1, tb]
-    e = jnp.where(e > 0, e, alpha * e)
-    e = jnp.where(mask, e, _NEG_INF)
+    e = jnp.maximum(e, alpha * e)  # LeakyReLU (alpha in (0, 1))
+    # additive mask: + 0 where edge (exact — the inner term is 0), - BIG
+    # where not; no compare+select (1.7 slots) on the tile
+    e = e + (m01 * _MASK_BIG - _MASK_BIG)
 
     m_old = m_ref[:]
     m_new = jnp.maximum(m_old, jnp.max(e, axis=1, keepdims=True))
-    p = jnp.where(mask, jnp.exp(e - m_new), 0.0)
-    corr = jnp.exp(m_old - m_new)
+    # no mask select: masked e - m_new <= _MASKED - _M_INIT underflows to 0
+    exp_elt = _fast_exp if fast_exp else jnp.exp
+    p = exp_elt(e - m_new)
+    corr = jnp.exp(m_old - m_new)  # per-row: keep exact
     l_ref[:] = l_ref[:] * corr + jnp.sum(p, axis=1, keepdims=True)
     acc_ref[:] = acc_ref[:] * corr + jnp.dot(
         p.astype(jnp.bfloat16),
@@ -143,10 +183,12 @@ def _flash_gat_kernel(
 def _flash_gat_kernel_stats(
     tile_rb, tile_cb, a_ref, s1_ref, s2_ref, wh_ref,
     out_ref, m_out, l_out, m_ref, l_ref, acc_ref, *, alpha: float,
+    fast_exp: bool = False,
 ):
     _flash_gat_kernel(
         tile_rb, tile_cb, a_ref, s1_ref, s2_ref, wh_ref, out_ref,
-        m_ref, l_ref, acc_ref, alpha=alpha, m_out=m_out, l_out=l_out,
+        m_ref, l_ref, acc_ref, alpha=alpha, fast_exp=fast_exp,
+        m_out=m_out, l_out=l_out,
     )
 
 
@@ -159,6 +201,7 @@ def flash_gat_forward(
     alpha: float = 0.2,
     interpret: bool | None = None,
     return_stats: bool = False,
+    fast_exp: bool = False,
 ):
     """out[r] = sum_c softmax_c(LeakyReLU(s1[r]+s2[c]) | A[r,c]>0) * Wh[c].
 
@@ -169,7 +212,14 @@ def flash_gat_forward(
 
     With ``return_stats`` also returns the per-row softmax stats
     ``(m, l)`` (running max / denominator, shape [n_rt*tb, H]) that the
-    fused backward needs to recompute tile probabilities locally.
+    fused backward needs to recompute tile probabilities locally. The
+    stats are internal — consume them only via flash_gat_backward / the
+    halo stats-merge.
+
+    ``fast_exp`` swaps the per-element exp for the ~4-slot Schraudolph
+    approximation (max 3% relative error on attention probabilities; the
+    kernel is exp-bound, so this is ~1.5-2x on wall time). The per-row
+    rescale exps stay exact either way.
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -212,6 +262,7 @@ def flash_gat_forward(
         partial(
             _flash_gat_kernel_stats if return_stats else _flash_gat_kernel,
             alpha=alpha,
+            fast_exp=fast_exp,
         ),
         grid_spec=grid_spec,
         out_shape=[out_shape, stat_shape, stat_shape]
@@ -304,23 +355,28 @@ gat_attention_agg.defvjp(_gat_agg_fwd, _gat_agg_bwd)
 # ---------------------------------------------------------------------------
 
 
-def _tile_probs(a_ref, s1, s2, m, l, alpha):
-    """Recompute one tile's softmax probabilities from saved (m, l) stats.
+def _tile_probs(a_ref, s1, s2, m, l, alpha, fast_exp: bool = False):
+    """Recompute one tile's softmax probabilities from saved (m, l) stats
+    (same additive-mask / underflow form as the forward kernel).
 
     s1/m/l: [tb, 1] column blocks; s2: [tb, 1] (transposed inside).
-    Returns (p, lrelu'-selector, mask).
+    Returns (p, lrelu'-selector).
     """
-    mask = _tile_mask(a_ref, s1.shape[0])
+    m01 = _tile_mask01(a_ref, s1.shape[0])
     e_pre = s1 + s2.reshape(1, -1)
-    e = jnp.where(e_pre > 0, e_pre, alpha * e_pre)
-    p = jnp.where(mask, jnp.exp(e - m), 0.0) / jnp.maximum(l, 1e-30)
+    e = jnp.maximum(e_pre, alpha * e_pre)
+    e = e + (m01 * _MASK_BIG - _MASK_BIG)
+    # masked entries underflow to exact 0 (see _MASKED); padding rows have
+    # m = 0, l = 0 from the stat padding -> p = exp(-1e9) = 0 there too
+    exp_elt = _fast_exp if fast_exp else jnp.exp
+    p = exp_elt(e - m) / jnp.maximum(l, 1e-30)
     lr = jnp.where(e_pre > 0, 1.0, alpha)
-    return p, lr, mask
+    return p, lr
 
 
 def _flash_bwd_row_kernel(
     tile_rb, tile_cb, a_ref, s1_ref, s2_ref, m_ref, l_ref, wh_ref, go_ref,
-    t_ref, u1_ref, u2_ref, *, alpha: float,
+    t_ref, u1_ref, u2_ref, *, alpha: float, fast_exp: bool = False,
 ):
     """Pass 1 (row-sorted tiles): row reductions of the softmax Jacobian.
 
@@ -337,8 +393,9 @@ def _flash_bwd_row_kernel(
         u1_ref[:] = jnp.zeros_like(u1_ref)
         u2_ref[:] = jnp.zeros_like(u2_ref)
 
-    p, lr, _ = _tile_probs(
-        a_ref, s1_ref[0], s2_ref[0], m_ref[0], l_ref[0], alpha
+    p, lr = _tile_probs(
+        a_ref, s1_ref[0], s2_ref[0], m_ref[0], l_ref[0], alpha,
+        fast_exp=fast_exp,
     )
     q = jax.lax.dot_general(
         go_ref[0].astype(jnp.bfloat16),
@@ -355,6 +412,7 @@ def _flash_bwd_row_kernel(
 def _flash_bwd_col_kernel(
     perm, rbs_c, cbs_c, a_ref, s1_ref, s2_ref, m_ref, l_ref, t_ref,
     wh_ref, go_ref, dwh_ref, ds2_ref, *, alpha: float,
+    fast_exp: bool = False,
 ):
     """Pass 2 (column-sorted tiles): column reductions.
 
@@ -369,8 +427,9 @@ def _flash_bwd_col_kernel(
         dwh_ref[:] = jnp.zeros_like(dwh_ref)
         ds2_ref[:] = jnp.zeros_like(ds2_ref)
 
-    p, lr, _ = _tile_probs(
-        a_ref, s1_ref[0], s2_ref[0], m_ref[0], l_ref[0], alpha
+    p, lr = _tile_probs(
+        a_ref, s1_ref[0], s2_ref[0], m_ref[0], l_ref[0], alpha,
+        fast_exp=fast_exp,
     )
     q = jax.lax.dot_general(
         go_ref[0].astype(jnp.bfloat16),
@@ -408,7 +467,8 @@ def _pad_bwd_operands(B: BSRMatrix, s1, s2, Wh, g_out):
     return s1, s2, Wh, g_out
 
 
-def _bwd_row_pass(B, s1, s2, m, l, Wh, g_out, *, alpha, interpret):
+def _bwd_row_pass(B, s1, s2, m, l, Wh, g_out, *, alpha, interpret,
+                  fast_exp=False):
     """Row-streaming pass over padded head-last operands (s1/s2/m/l
     [*, H], Wh/g_out [*, H*F]) -> (t, u1, u2), each [n_rt*tb, H].
     ``m``/``l`` are the (possibly externally merged) softmax stats used to
@@ -438,7 +498,7 @@ def _bwd_row_pass(B, s1, s2, m, l, Wh, g_out, *, alpha, interpret):
     )
     stat_shape = jax.ShapeDtypeStruct((H, n_rt * tb, 1), jnp.float32)
     t, u1, u2 = pl.pallas_call(
-        partial(_flash_bwd_row_kernel, alpha=alpha),
+        partial(_flash_bwd_row_kernel, alpha=alpha, fast_exp=fast_exp),
         grid_spec=row_grid,
         out_shape=[stat_shape, stat_shape, stat_shape],
         interpret=interpret,
@@ -452,7 +512,8 @@ def _bwd_row_pass(B, s1, s2, m, l, Wh, g_out, *, alpha, interpret):
     return t[:, :, 0].T, u1[:, :, 0].T, u2[:, :, 0].T
 
 
-def _bwd_col_pass(B, s1, s2, m, l, t, Wh, g_out, *, alpha, interpret):
+def _bwd_col_pass(B, s1, s2, m, l, t, Wh, g_out, *, alpha, interpret,
+                  fast_exp=False):
     """Column-streaming pass over padded head-last operands -> (dWh, ds2),
     shapes [n_ct*tb, H*F] / [n_ct*tb, H]. ``t`` is the full row reduction
     (local + any external edges) the Jacobian identity subtracts."""
@@ -501,7 +562,7 @@ def _bwd_col_pass(B, s1, s2, m, l, t, Wh, g_out, *, alpha, interpret):
         ],
     )
     dWh, ds2 = pl.pallas_call(
-        partial(_flash_bwd_col_kernel, alpha=alpha),
+        partial(_flash_bwd_col_kernel, alpha=alpha, fast_exp=fast_exp),
         grid_spec=col_grid,
         out_shape=[
             jax.ShapeDtypeStruct((H, n_ct * tb, F), jnp.float32),
@@ -624,10 +685,10 @@ def _halo_gat_forward(
 
     mask = mask_rem[:, None]  # one adjacency mask shared by all heads
     e = jnp.take(s1, rows_rem, axis=0) + jnp.take(s2h, cols_halo, axis=0)
-    e = jnp.where(e > 0, e, alpha * e)
-    e = jnp.where(mask, e, _NEG_INF)
+    e = jnp.maximum(e, alpha * e)
+    e = jnp.where(mask, e, _MASKED)
     m_r = jax.ops.segment_max(e, rows_rem, num_segments=nl)
-    m_r = jnp.maximum(m_r, _NEG_INF)  # empty rows: -inf -> sentinel
+    m_r = jnp.maximum(m_r, _M_INIT)  # empty rows: -inf -> sentinel
     ex = jnp.where(mask, jnp.exp(e - jnp.take(m_r, rows_rem, axis=0)), 0.0)
     l_r = jax.ops.segment_sum(ex, rows_rem, num_segments=nl)
     acc_r = jax.ops.segment_sum(
@@ -719,13 +780,14 @@ def _halo_agg_bwd(alpha, res, g_out):
         B, s1p, s2p, m_p, l_p, Whp, g_outp, alpha=alpha, interpret=interpret
     )
 
-    # remote-edge pieces of the same reductions ([E, H] per-head lanes)
+    # remote-edge pieces of the same reductions ([E, H] per-head lanes);
+    # p recomputed from the merged stats in the kernels' base-2 domain
     mask = mask_rem[:, None]
     e_pre = jnp.take(s1, rows_rem, axis=0) + jnp.take(s2h, cols_halo, axis=0)
     lr = jnp.where(e_pre > 0, 1.0, alpha)
-    e = jnp.where(e_pre > 0, e_pre, alpha * e_pre)
+    e2 = jnp.maximum(e_pre, alpha * e_pre)
     p_r = jnp.where(
-        mask, jnp.exp(e - jnp.take(m, rows_rem, axis=0)), 0.0
+        mask, jnp.exp(e2 - jnp.take(m, rows_rem, axis=0)), 0.0
     ) / jnp.take(jnp.maximum(l, 1e-30), rows_rem, axis=0)
     q_r = jnp.sum(
         jnp.take(g_out, rows_rem, axis=0) * jnp.take(halo, cols_halo, axis=0),

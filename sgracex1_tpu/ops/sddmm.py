@@ -48,17 +48,23 @@ def edge_softmax(
 ) -> jax.Array:
     """Softmax of per-edge logits within each row segment.
 
-    ``mask`` (bool[E_pad]) marks edges participating in the softmax; defaults
-    to ``A.vals > 0`` (reference's ``adj_d > 0`` edge mask), which also
-    excludes padding (padding vals are 0).
+    ``logits``: [E_pad] or [E_pad, H] (multi-head logits batched as vector
+    lanes — one segment pass serves all heads). ``mask`` (bool[E_pad]) marks
+    edges participating in the softmax; defaults to ``A.vals > 0``
+    (reference's ``adj_d > 0`` edge mask), which also excludes padding
+    (padding vals are 0).
     """
     if mask is None:
         mask = A.vals > 0
+    if logits.ndim == 2 and mask.ndim == 1:
+        mask = mask[:, None]
     masked = jnp.where(mask, logits, _NEG_INF)
     row_max = jax.ops.segment_max(masked, A.rows, num_segments=A.n_rows)
     # Rows with no participating edges have max=-inf; guard the subtraction.
     row_max = jnp.where(jnp.isfinite(row_max), row_max, 0.0)
-    ex = jnp.where(mask, jnp.exp(masked - jnp.take(row_max, A.rows)), 0.0)
+    ex = jnp.where(
+        mask, jnp.exp(masked - jnp.take(row_max, A.rows, axis=0)), 0.0
+    )
     denom = jax.ops.segment_sum(ex, A.rows, num_segments=A.n_rows)
     denom = jnp.where(denom > 0, denom, 1.0)
-    return ex / jnp.take(denom, A.rows)
+    return ex / jnp.take(denom, A.rows, axis=0)

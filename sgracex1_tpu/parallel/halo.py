@@ -296,8 +296,15 @@ def dist_gnn_layer_halo_bsr(
     return relu_hw(out) if relu else out
 
 
-def dist_spmm_halo(mesh: Mesh, G: HaloGraph, H: jax.Array) -> jax.Array:
-    """out = A @ H with boundary-only exchange; H row-sharded [n_pad, P]."""
+def dist_spmm_halo(
+    mesh: Mesh, G: HaloGraph, H: jax.Array, *, exchange: bool = True
+) -> jax.Array:
+    """out = A @ H with boundary-only exchange; H row-sharded [n_pad, P].
+
+    ``exchange=False`` is a BENCHMARK ABLATION: the all_to_all is replaced
+    by the local send buffer (same shapes and local compute, wrong values),
+    so ``t_full - t_no_exchange`` isolates the collective's cost — the
+    measured check on the comm model (parallel/comm_model.py)."""
 
     @partial(
         shard_map,
@@ -315,8 +322,12 @@ def dist_spmm_halo(mesh: Mesh, G: HaloGraph, H: jax.Array) -> jax.Array:
         send = jnp.take(H_l, send_idx.reshape(-1), axis=0).reshape(
             send_idx.shape + (H_l.shape[1],)
         )  # [S, L, P]
-        halo = jax.lax.all_to_all(
-            send, "graph", split_axis=0, concat_axis=0, tiled=False
+        halo = (
+            jax.lax.all_to_all(
+                send, "graph", split_axis=0, concat_axis=0, tiled=False
+            )
+            if exchange
+            else send
         ).reshape(-1, H_l.shape[1])  # [S*L, P] — slot t*L+l = row from owner t
 
         # local aggregation is independent of the collective -> overlappable
@@ -346,10 +357,12 @@ def dist_gnn_layer_halo(
     W: jax.Array,
     *,
     relu: bool = False,
+    exchange: bool = True,
 ) -> jax.Array:
-    """GCN layer ReLU?(A @ (X @ W)) with halo exchange of XW."""
+    """GCN layer ReLU?(A @ (X @ W)) with halo exchange of XW.
+    ``exchange=False``: benchmark ablation (see dist_spmm_halo)."""
     H = jnp.dot(x, W, preferred_element_type=jnp.float32)
-    out = dist_spmm_halo(mesh, G, H)
+    out = dist_spmm_halo(mesh, G, H, exchange=exchange)
     return relu_hw(out) if relu else out
 
 

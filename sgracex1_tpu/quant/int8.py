@@ -170,17 +170,73 @@ def dense_adjacency_int8(A_dense: np.ndarray, c_a: QuantConstants) -> jax.Array:
     return jnp.asarray((aq - _SHIFT).astype(np.int8))
 
 
+def bsr_int8_from_sparse(A, c_a: QuantConstants, *, tb: int = 512):
+    """Quantize a SPARSE adjacency onto the unsigned grid and densify the
+    nonempty tiles as shifted int8 — the sparse-scale replacement for
+    ``dense_adjacency_int8``'s N x N matrix (which caps full-integer GCN at
+    ~16k nodes). Absent tile positions quantize to 0 on the unsigned grid,
+    i.e. -128 shifted, which is exactly what (tiles_f32 - 128) yields for
+    the build's zero-initialized slots. Consumed by ops.bsr.bsr_spmm_int8.
+    """
+    from sgracex1_tpu.graph.csr import SparseMatrix
+    from sgracex1_tpu.ops.bsr import bsr_from_sparse
+
+    import dataclasses as _dc
+
+    v = np.asarray(A.vals)
+    aq = np.clip(np.round(v / c_a.s + c_a.z), 0, c_a.beta_q).astype(
+        np.float32
+    )
+    B = bsr_from_sparse(
+        A.with_vals(aq), tb=tb, dtype=jnp.float32, cover_rows=True
+    )
+    tiles = jax.jit(lambda t: (t - 128.0).astype(jnp.int8))(B.tiles)
+    return _dc.replace(B, tiles=tiles)
+
+
+def int8_gcn_layer_sparse(
+    layer: Int8GCNLayer, a_bsr, xs: jax.Array
+) -> Tuple[jax.Array, float]:
+    """Full-integer GCN layer on BSR tiles: both matmuls int8 x int8 ->
+    int32 on the MXU, no dense N x N anywhere — the reference's quantized
+    engine capability (sgrace.py:334-365) at sparse scale."""
+    from sgracex1_tpu.ops.bsr import bsr_spmm_int8
+
+    acc1 = matmul_unsigned_x_signed(xs, layer.wq)
+    h_q = requantize_signed(acc1, layer.s_x * layer.s_w / layer.s_h)
+    acc2 = bsr_spmm_int8(a_bsr, h_q)[: xs.shape[0]]
+    return acc2, layer.s_a * layer.s_h
+
+
 # --------------------------------------------------------- two-layer network
 
 
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class Int8GCN2:
-    """The reference's 2-layer GCN frozen for full-integer inference."""
+    """The reference's 2-layer GCN frozen for full-integer inference
+    (dense quantized adjacency — small graphs; see Int8GCN2Sparse for the
+    tile form that scales past the dense N x N cap)."""
 
     layer1: Int8GCNLayer
     layer2: Int8GCNLayer
     a_s: jax.Array  # shared quantized adjacency
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class Int8GCN2Sparse:
+    """2-layer GCN frozen for full-integer inference on BSR tiles: the
+    quantized adjacency lives as shifted-int8 nonempty tiles
+    (bsr_int8_from_sparse) and aggregation runs ops.bsr.bsr_spmm_int8 —
+    int8 x int8 -> int32 on the MXU with NO dense N x N, so full-integer
+    inference runs at pubmed/1M scale (the reference's quantized engine
+    runs at its full supported size, sgrace.py:334-365,1296-1845; the
+    dense Int8GCN2 capped ours at ~16k nodes)."""
+
+    layer1: Int8GCNLayer
+    layer2: Int8GCNLayer
+    a_bsr: object  # ops.bsr.BSRMatrix, shifted-int8 value tiles
 
 
 def freeze_gcn2(
@@ -213,6 +269,36 @@ def freeze_gcn2(
         layer1=l1,
         layer2=l2,
         a_s=dense_adjacency_int8(A_dense, cal.adjacency),
+    )
+
+
+def freeze_gcn2_sparse(
+    W1: np.ndarray,
+    W2: np.ndarray,
+    A,
+    cal: CalibrationTable,
+    *,
+    h1_absmax: float,
+    x2_absmax: float,
+    h2_absmax: float,
+    tb: int = 512,
+) -> Int8GCN2Sparse:
+    """freeze_gcn2 with a SPARSE adjacency (SparseMatrix) quantized into
+    shifted-int8 BSR tiles instead of a dense N x N matrix."""
+    c_x2 = QuantConstants(
+        s_o=1.0, s=max(float(x2_absmax), 1e-8) / 255.0, z=0, qbits=8,
+        signed=False,
+    )
+    l1 = freeze_gcn_layer(
+        W1, cal.features, cal.weights, cal.adjacency, h_absmax=h1_absmax
+    )
+    l2 = freeze_gcn_layer(
+        W2, c_x2, cal.weights2, cal.adjacency, h_absmax=h2_absmax
+    )
+    return Int8GCN2Sparse(
+        layer1=l1,
+        layer2=l2,
+        a_bsr=bsr_int8_from_sparse(A, cal.adjacency, tb=tb),
     )
 
 
@@ -349,3 +435,60 @@ def int8_gcn2_forward(net: Int8GCN2, xs: jax.Array) -> jax.Array:
     x2 = requantize_unsigned_shifted(acc1, scale1 / net.layer2.s_x)
     acc2, scale2 = int8_gcn_layer(net.layer2, net.a_s, x2)
     return dequantize_acc(acc2, scale2)
+
+
+def int8_gcn2_sparse_forward(net: Int8GCN2Sparse, xs: jax.Array) -> jax.Array:
+    """int8_gcn2_forward on BSR tiles (same math; sparse scale)."""
+    acc1, scale1 = int8_gcn_layer_sparse(net.layer1, net.a_bsr, xs)
+    x2 = requantize_unsigned_shifted(acc1, scale1 / net.layer2.s_x)
+    acc2, scale2 = int8_gcn_layer_sparse(net.layer2, net.a_bsr, x2)
+    return dequantize_acc(acc2, scale2)
+
+
+def collect_amax_gcn2_sparse(A_sp, X: np.ndarray, W1, W2) -> dict:
+    """collect_amax_gcn2 for a scipy/SparseMatrix adjacency (no dense)."""
+    mat = A_sp.to_scipy() if hasattr(A_sp, "to_scipy") else A_sp
+    h1_pre = X @ np.asarray(W1)
+    h1 = np.maximum(mat @ h1_pre, 0.0)
+    h2_pre = h1 @ np.asarray(W2)
+    return dict(
+        h1_absmax=float(np.abs(h1_pre).max()),
+        x2_absmax=float(h1.max()),
+        h2_absmax=float(np.abs(h2_pre).max()),
+    )
+
+
+# ----------------------------------------------------- int8 GAT on flash
+
+
+def int8_gat_layer_flash(
+    layer: Int8GATLayer, B, xs: jax.Array
+) -> Tuple[jax.Array, float]:
+    """Int8GATLayer with the attention aggregation on the fused flash tile
+    kernel instead of the per-edge segment path — no per-edge gather, no
+    dense N x N, runs at any graph scale.
+
+    ``B``: mask BSRMatrix of the adjacency (bsr_mask_from_sparse /
+    bsr_bitmask_from_sparse). X@W and the score matvecs run int8 on the
+    MXU; the softmax runs in the flash kernel's float pipeline (the demo
+    bitstream also computes the softmax in float, sgrace.py:501-539); the
+    aggregation matmul feeds the int8-valued hidden states through the
+    MXU in bf16, which represents int8 exactly. Returns (float32
+    accumulator in h_q units — softmax rows sum to 1, so no 255-grid
+    factor — and its dequant scale s_h).
+    """
+    from sgracex1_tpu.ops.flash_gat import flash_gat_forward
+
+    acc1 = matmul_unsigned_x_signed(xs, layer.wq)
+    h_q = requantize_signed(acc1, layer.s_x * layer.s_w / layer.s_h)
+    s1 = jnp.dot(
+        h_q, layer.aq_src, preferred_element_type=jnp.int32
+    ).astype(jnp.float32)
+    s2 = jnp.dot(
+        h_q, layer.aq_dst, preferred_element_type=jnp.int32
+    ).astype(jnp.float32)
+    sc = layer.s_h * layer.s_a
+    out = flash_gat_forward(
+        B, s1 * sc, s2 * sc, h_q.astype(jnp.float32), alpha=layer.alpha
+    )[: xs.shape[0]]
+    return out, layer.s_h

@@ -12,12 +12,14 @@ distance from 100% is the remaining headroom ("% of speed-of-light").
 
 Peaks default to TPU v5e (the chip behind this environment's relay):
 ~197 TFLOP/s bf16 on the MXU, ~819 GB/s HBM. The VPU peaks are MEASURED on
-this environment's chip (benchmarks/bench_vpu_cal.py): the v5e vector unit
-is 8x128 lanes x 4 ALUs; simple f32 elementwise ops sustain ~3.6 Top/s and
-``exp`` decomposes into ~7 ALU slots (~0.5 T exp/s). The VPU axis is what
-the flash-GAT kernel — whose per-tile work is mostly score elementwise math
-— is actually bound by; without it the HBM/MXU-only roofline misreported
-the kernel at "22% of HBM roof" (BENCH_r02) as if 4x headroom existed.
+this environment's chip (benchmarks/bench_vpu_cal.py, 2026-08-20, with the
+fori-loop overhead subtracted via multi-length op chains): simple f32
+elementwise ops sustain ~5.5 T op/s and ``exp`` ~0.49 T/s (~11 ALU slots).
+The VPU axis is what the flash-GAT kernel — whose per-tile work is mostly
+score elementwise math — is actually bound by; without it the HBM/MXU-only
+roofline misreported the kernel at "22% of HBM roof" (BENCH_r02) as if 4x
+headroom existed. With these peaks the r3 sweep's best pubmed flash config
+(tb=1024, 0.721 ms) models to 93% of the VPU roof.
 """
 
 from __future__ import annotations
@@ -29,8 +31,8 @@ V5E_PEAK_BF16_FLOPS = 197e12
 V5E_PEAK_HBM_BYTES = 819e9
 # measured on the attached v5e via benchmarks/bench_vpu_cal.py (see module
 # docstring); update there first if the relay hardware ever changes
-V5E_PEAK_VPU_OPS = 3.6e12  # simple f32 elementwise ops / s
-V5E_PEAK_TRANSC = 0.5e12  # f32 exp / s
+V5E_PEAK_VPU_OPS = 5.5e12  # simple f32 elementwise ops / s
+V5E_PEAK_TRANSC = 4.9e11  # f32 exp / s
 
 
 @dataclasses.dataclass(frozen=True)
@@ -116,11 +118,13 @@ def cost_dense(n_pad: int, P: int, a_itemsize: int = 2) -> CostModel:
 def cost_bsr(B, P: int) -> CostModel:
     """BSR tile kernel (ops/bsr.py): per nonempty tile, one tb x tb x P
     matmul; tile + H block read, output written once per row block
-    (accumulator revisits stay in VMEM)."""
+    (accumulator revisits stay in VMEM). 1-bit packed tiles additionally
+    pay ~4 VPU ops/element to unpack (shift+and per plane + concat+cast)."""
     tb = B.tb
     T = B.num_tiles
+    packed = B.tiles.shape[-1] != tb
     itemsize = B.tiles.dtype.itemsize * (
-        1 if B.tiles.shape[-1] == tb else B.tiles.shape[-1] / tb
+        1 if not packed else B.tiles.shape[-1] / tb
     )
     return CostModel(
         flops=2.0 * T * tb * tb * P,
@@ -128,6 +132,7 @@ def cost_bsr(B, P: int) -> CostModel:
             T * (tb * tb * itemsize + tb * P * 2) + B.n_row_tiles * tb * P * 4
         ),
         note="bsr",
+        vpu_ops=4.0 * T * tb * tb if packed else 0.0,
     )
 
 

@@ -137,3 +137,28 @@ def test_gcnconv_go_quant_trains(rng):
     g = jax.grad(loss)(params)
     for leaf in jax.tree.leaves(g):
         assert np.all(np.isfinite(np.asarray(leaf)))
+
+
+def test_gat_readback_on_flash_prepared_matches_edge_path(rng):
+    """return_attention on a flash-prepared adjacency: aggregation runs the
+    fused tile kernel, E/S come from the O(E) side path — both must match
+    the plain edge-path layer (multi-head, no Python head loop)."""
+    from sgracex1_tpu.ops.dispatch import prepare_adjacency
+
+    A = _graph(rng, n=300)
+    n = A.n_rows
+    x = jnp.asarray(rng.standard_normal((n, 8)).astype(np.float32))
+    conv = GATConv(8, 4, nheads=3)
+    params = conv.init(jax.random.PRNGKey(2), A, x)
+    prep = prepare_adjacency(A, method="bsr", tb=128, for_gat=True)
+    assert prep.flash_tiles is not None
+    out_p, (e_p, s_p) = conv.apply(params, prep, x, return_attention=True)
+    out_e, (e_e, s_e) = conv.apply(params, A, x, return_attention=True)
+    np.testing.assert_allclose(np.asarray(e_p), np.asarray(e_e), rtol=1e-5,
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(s_p), np.asarray(s_e), rtol=1e-5,
+                               atol=1e-6)
+    # flash aggregation (bf16 MXU) vs f32 edge aggregation
+    np.testing.assert_allclose(
+        np.asarray(out_p), np.asarray(out_e), rtol=3e-2, atol=3e-2
+    )

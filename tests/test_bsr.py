@@ -184,3 +184,73 @@ def test_bsr_transpose_spmm_matches_scipy(rng):
     np.testing.assert_allclose(
         d[: A.n_cols, : A.n_rows], mat.T.toarray(), rtol=1e-6
     )
+
+
+def test_packed_bitmask_spmm_matches_scipy(rng):
+    """1-bit packed mask tiles through bsr_spmm_pallas: the kernel detects
+    the packed shape and unpacks in-kernel; aggregation must match scipy
+    on a {0,1} adjacency."""
+    from sgracex1_tpu.ops.bsr import bsr_bitmask_from_sparse
+
+    n = 1500
+    mat = sp.random(n, n, density=0.004, format="csr", random_state=5)
+    mat.data[:] = 1.0
+    mat = mat.astype(np.float32)
+    A = SparseMatrix.from_scipy(mat)
+    B = bsr_bitmask_from_sparse(A, tb=1024, cover_rows=True, cover_cols=True)
+    assert B.tiles.shape[-1] == 128 and B.tiles.dtype == jnp.uint8
+    H = rng.standard_normal((A.n_cols, 32)).astype(np.float32)
+    out = np.asarray(bsr_spmm_pallas(B, jnp.asarray(H)))
+    np.testing.assert_allclose(
+        out[:n], mat @ H, rtol=3e-2, atol=3e-2
+    )
+
+
+def test_pack_mask_bsr_matches_host_layout(rng):
+    """Device pack == the documented bit-plane-major layout, and the
+    in-kernel unpack inverts it."""
+    from sgracex1_tpu.ops.bsr import (
+        bsr_mask_from_sparse, pack_mask_bsr, unpack_mask01_tile,
+    )
+
+    n, tb = 900, 1024
+    mat = sp.random(n, n, density=0.01, format="csr", random_state=7)
+    mat.data[:] = 1.0
+    A = SparseMatrix.from_scipy(mat.astype(np.float32))
+    Bm = bsr_mask_from_sparse(A, tb=tb)
+    Bp = pack_mask_bsr(Bm, batch_tiles=1)  # force the multi-batch path
+    m = np.asarray(Bm.tiles).astype(np.uint8)
+    tb8 = tb // 8
+    planes = m.reshape(m.shape[0], tb, 8, tb8)
+    expect = np.zeros((m.shape[0], tb, tb8), np.uint8)
+    for j in range(8):
+        expect |= planes[:, :, j, :] << j
+    np.testing.assert_array_equal(np.asarray(Bp.tiles), expect)
+    un = np.asarray(unpack_mask01_tile(jnp.asarray(Bp.tiles[0]), tb))
+    np.testing.assert_array_equal(un, m[0].astype(np.float32))
+
+
+def test_prepare_rank1_packed_tiles_parity(rng):
+    """prepare_adjacency with tb=1024 on a sym-normalized graph stores
+    1-bit packed mask tiles; forward and backward match scipy through the
+    rank-1 scalings."""
+    from sgracex1_tpu.graph.normalize import sym_norm
+    from tests.conftest import make_random_graph
+
+    n = 1200
+    A = sym_norm(make_random_graph(rng, n, avg_degree=6), n)
+    r = np.asarray(A.rows[: A.nnz])
+    c = np.asarray(A.cols[: A.nnz])
+    v = np.asarray(A.vals[: A.nnz])
+    mat = sp.coo_matrix((v, (r, c)), shape=(n, n)).tocsr()
+
+    prep = prepare_adjacency(A, method="bsr", tb=1024)
+    assert prep.r1_row is not None
+    assert prep.bsr.tiles.dtype == jnp.uint8
+    assert prep.bsr.tiles.shape[-1] == 128  # packed
+    H = jnp.asarray(rng.standard_normal((n, 64)).astype(np.float32))
+    out = np.asarray(agg_matmul(prep, H))
+    np.testing.assert_allclose(out, mat @ np.asarray(H), rtol=5e-2, atol=5e-2)
+    vg = rng.standard_normal((n, 64)).astype(np.float32)
+    g = jax.grad(lambda h: jnp.vdot(agg_matmul(prep, h), vg))(H)
+    np.testing.assert_allclose(np.asarray(g), mat.T @ vg, rtol=5e-2, atol=5e-2)

@@ -220,7 +220,10 @@ def test_rank1_hybrid_parity(rng):
     A, mat = _symnorm_graph(rng, n=2048, avg_degree=16)
     prep = prepare_adjacency(A, method="hybrid")
     assert prep.kind == "hybrid" and prep.r1_row is not None
-    assert prep.bsr.tiles.dtype == jnp.int8
+    # mask tiles: int8 {0,1}, or 1-bit packed uint8 when tb is lane-aligned
+    assert prep.bsr.tiles.dtype in (jnp.int8, jnp.uint8)
+    if prep.bsr.tiles.dtype == jnp.uint8:
+        assert prep.bsr.tiles.shape[-1] == prep.bsr.tb // 8
     H = jnp.asarray(rng.standard_normal((A.n_cols, 64)).astype(np.float32))
     out = np.asarray(jax.jit(agg_matmul)(prep, H))
     np.testing.assert_allclose(out, mat @ np.asarray(H), rtol=5e-2, atol=5e-2)

@@ -326,3 +326,39 @@ def test_halo_agg_vjp_matches_autodiff(rng):
             np.asarray(a), np.asarray(b), rtol=2e-2, atol=2e-2,
             err_msg=f"halo-agg grad mismatch for {name}",
         )
+
+
+def test_flash_fast_exp_close_to_exact(rng):
+    """fast_exp (Schraudolph, ~3% max rel err on probabilities) stays close
+    to the exact flash forward and the edge reference."""
+    from sgracex1_tpu.ops.bsr import bsr_mask_from_sparse
+    from sgracex1_tpu.ops.flash_gat import (
+        flash_gat_forward, gat_attention_agg_ref,
+    )
+    from tests.conftest import make_random_graph
+    from sgracex1_tpu.graph.normalize import sym_norm
+
+    n = 700
+    A = sym_norm(make_random_graph(rng, n, avg_degree=5), n)
+    B = bsr_mask_from_sparse(A, tb=128)
+    s1 = jnp.asarray(rng.standard_normal(n).astype(np.float32))
+    s2 = jnp.asarray(rng.standard_normal(n).astype(np.float32))
+    Wh = jnp.asarray(rng.standard_normal((n, 16)).astype(np.float32))
+    ref = np.asarray(gat_attention_agg_ref(A, s1, s2, Wh))
+    fast = np.asarray(flash_gat_forward(B, s1, s2, Wh, fast_exp=True))[:n]
+    # attention probabilities renormalize, so output error stays ~3%
+    np.testing.assert_allclose(fast, ref, rtol=8e-2, atol=8e-2)
+    exact = np.asarray(flash_gat_forward(B, s1, s2, Wh))[:n]
+    np.testing.assert_allclose(exact, ref, rtol=3e-2, atol=3e-2)  # bf16 MXU
+
+
+def test_fast_exp_approximation_bounds():
+    """The Schraudolph constants: <=3% relative error on [-30, 0], exact
+    0.0 for deep-negative arguments (masked positions)."""
+    from sgracex1_tpu.ops.flash_gat import _fast_exp
+
+    x = jnp.linspace(-30.0, 0.0, 20001)
+    rel = np.abs(np.asarray(_fast_exp(x)) / np.exp(np.asarray(x)) - 1.0)
+    assert rel.max() < 0.031, rel.max()
+    deep = np.asarray(_fast_exp(jnp.asarray([-1e5, -1e9, -200.0])))
+    np.testing.assert_array_equal(deep, 0.0)

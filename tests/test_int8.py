@@ -182,3 +182,110 @@ def test_gcn2_forward_close_to_float():
 
     rel = np.abs(out - expect).max() / (np.abs(expect).max() + 1e-9)
     assert rel < 0.08, f"2-layer int8 relative err {rel}"
+
+
+def _banded_graph(rng, n, extra=2000):
+    """Sym-normalized banded + random graph (tile-friendly, pubmed-shaped)."""
+    import scipy.sparse as sp
+    from sgracex1_tpu.graph.csr import SparseMatrix
+    from sgracex1_tpu.graph.normalize import sym_norm
+
+    rows, cols = [], []
+    for d in (-2, -1, 1, 2):
+        i = np.arange(max(0, -d), min(n, n - d))
+        rows.append(i)
+        cols.append(i + d)
+    rows.append(rng.integers(0, n, extra))
+    cols.append(rng.integers(0, n, extra))
+    r = np.concatenate(rows)
+    c = np.concatenate(cols)
+    k = np.unique(r.astype(np.int64) * n + c)
+    ei = np.stack([k // n, k % n])
+    return sym_norm(ei, n)
+
+
+def test_bsr_int8_spmm_exact():
+    """bsr_spmm_int8 == the exact integer product of the quantized grids
+    (per-tile shift correction included)."""
+    from sgracex1_tpu.ops.bsr import bsr_spmm_int8
+
+    rng = np.random.default_rng(3)
+    n = 700
+    A = _banded_graph(rng, n, extra=400)
+    c_a = _uc(float(np.asarray(A.vals).max()) or 1.0)
+    B = qi8.bsr_int8_from_sparse(A, c_a, tb=128)
+    hq = rng.integers(-127, 128, (n, 32)).astype(np.int8)
+    acc = np.asarray(bsr_spmm_int8(B, jnp.asarray(hq)))[:n]
+    # exact integer reference on the quantized adjacency
+    v = np.asarray(A.vals[: A.nnz])
+    aq = np.clip(np.round(v / c_a.s + c_a.z), 0, c_a.beta_q)
+    import scipy.sparse as sp
+
+    r = np.asarray(A.rows[: A.nnz])
+    c = np.asarray(A.cols[: A.nnz])
+    mat = sp.coo_matrix((aq, (r, c)), shape=(n, n)).tocsr()
+    np.testing.assert_array_equal(acc, (mat @ hq.astype(np.int64)))
+
+
+def test_int8_gcn2_sparse_matches_dense_and_float():
+    """Sparse-tile full-integer 2-layer GCN == the dense int8 form exactly,
+    and both track the float forward — at a size past nothing, but the
+    same code path runs at pubmed/1M scale (no dense N x N)."""
+    rng = np.random.default_rng(4)
+    n, f, h, p = 1500, 16, 12, 8
+    A = _banded_graph(rng, n)
+    mat = A.to_scipy()
+    X = rng.uniform(0, 1, (n, f)).astype(np.float32)
+    W1 = rng.uniform(-0.5, 0.5, (f, h)).astype(np.float32)
+    W2 = rng.uniform(-0.5, 0.5, (h, p)).astype(np.float32)
+
+    amax = qi8.collect_amax_gcn2_sparse(A, X, W1, W2)
+    cal = CalibrationTable.for_qbits(
+        8,
+        dict(w_min=-0.5, w_max=0.5, w_min2=-0.5, w_max2=0.5,
+             f_min=0.0, f_max=1.0, a_min=0.0,
+             a_max=float(np.asarray(A.vals).max()) or 1.0),
+    )
+    net_s = qi8.freeze_gcn2_sparse(W1, W2, A, cal, tb=128, **amax)
+    out_s = np.asarray(qi8.int8_gcn2_sparse_forward(net_s, jnp.asarray(
+        np.asarray(qi8.quantize_unsigned_shifted(jnp.asarray(X), cal.features))
+    )))[:n]
+
+    net_d = qi8.freeze_gcn2(W1, W2, mat.toarray(), cal, **amax)
+    xs = qi8.quantize_unsigned_shifted(jnp.asarray(X), cal.features)
+    out_d = np.asarray(qi8.int8_gcn2_forward(net_d, xs))
+
+    np.testing.assert_allclose(out_s, out_d, rtol=1e-5, atol=1e-5)
+    # float reference
+    h1 = np.maximum(mat @ (X @ W1), 0)
+    ref = mat @ (h1 @ W2)
+    err = np.abs(out_s - ref).max() / (np.abs(ref).max() + 1e-9)
+    assert err < 0.08, err
+
+
+def test_int8_gat_flash_close_to_edge_path(rng):
+    """int8 GAT with flash-tile aggregation tracks the per-edge int8 GAT
+    (same quantized operands, different aggregation engine)."""
+    from sgracex1_tpu.ops.bsr import bsr_mask_from_sparse
+
+    n, f, p = 900, 16, 8
+    A = _banded_graph(rng, n, extra=800)
+    X = rng.uniform(0, 1, (n, f)).astype(np.float32)
+    W = rng.uniform(-0.5, 0.5, (f, p)).astype(np.float32)
+    att = rng.uniform(-0.5, 0.5, (2 * p, 1)).astype(np.float32)
+    c_x, c_w = _uc(1.0), _sc(0.5)
+    layer = qi8.freeze_gat_layer(W, att, c_x, c_w, h_absmax=4.0)
+    xs = qi8.quantize_unsigned_shifted(jnp.asarray(X), c_x)
+
+    acc_e, sc_e = qi8.int8_gat_layer(
+        layer, jnp.asarray(A.rows), jnp.asarray(A.cols),
+        jnp.asarray(A.vals) > 0, n, xs,
+    )
+    out_e = np.asarray(acc_e, dtype=np.float64) * sc_e
+
+    B = bsr_mask_from_sparse(A, tb=128)
+    acc_f, sc_f = qi8.int8_gat_layer_flash(layer, B, xs)
+    out_f = np.asarray(acc_f, dtype=np.float64) * sc_f
+
+    denom = np.abs(out_e).max() + 1e-9
+    assert np.abs(out_f - out_e).max() / denom < 0.03

@@ -14,7 +14,11 @@ from sgracex1_tpu.graph.batch import make_batches
 from sgracex1_tpu.graph.datasets import sbm_node_classification, synthetic_molecules
 from sgracex1_tpu.nn.models import GCNModel, GATModel, MoleculeGCN
 from sgracex1_tpu.quant.calibration import CalibrationTable
-from sgracex1_tpu.train.loop import train_node_classifier, train_graph_classifier
+from sgracex1_tpu.train.loop import (
+    train_node_classifier,
+    train_node_classifier_sampled,
+    train_graph_classifier,
+)
 from sgracex1_tpu.train.checkpoint import save_checkpoint, load_checkpoint
 
 
@@ -201,3 +205,31 @@ def test_checkpoint_roundtrip(tmp_path):
     leaves2 = jax.tree.leaves(restored)
     for a, b in zip(leaves1, leaves2):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_amazon_photo_analogue_sampled_quantized_anchor():
+    """The reference's one board-hardware accuracy anchor is Amazon Photo
+    via NeighborLoader at 8-bit: ~90% (demo/README.md:33). Real Amazon
+    labels cannot be vendored here (gated parser: graph/datasets.load_amazon),
+    so pin the analogue: an Amazon-shaped SBM (8 classes, co-purchase-like
+    density, class-correlated features) trained through the SAME path —
+    train_node_classifier_sampled + 8-bit fake-quant — must reach >= 0.85."""
+    data = sbm_node_classification(
+        n=800, num_classes=8, num_features=64, p_in=0.05, p_out=0.002,
+        seed=11,
+    )
+    cal = CalibrationTable.for_qbits(8)
+    cfg = SGRACEConfig(
+        hidden_channels=16, num_epochs=20, w_qbits=8, fake_quantization=True,
+        learning_rate=0.01,
+    )
+    model = GCNModel(
+        num_features=data.num_features,
+        hidden_channels=16,
+        num_classes=data.num_classes,
+        calibration=cal,
+    )
+    _, hist = train_node_classifier_sampled(
+        model, data, cfg, batch_size=128, fanouts=(10, 10)
+    )
+    assert hist.best_test_acc >= 0.85, hist.best_test_acc
