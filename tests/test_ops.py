@@ -195,3 +195,17 @@ def test_gat_attention_param_gradient_uses_softmax_jacobian(rng):
     g2 = Wh.T @ soft_grad.sum(axis=0)
     expect = np.concatenate([g1, g2])
     np.testing.assert_allclose(g, expect, rtol=1e-3, atol=1e-4)
+
+
+def test_edge_softmax_multihead_matches_per_head(rng):
+    """[E, H] logits through one edge_softmax == H separate passes."""
+    from sgracex1_tpu.graph.normalize import sym_norm
+    from tests.conftest import make_random_graph
+
+    n, H = 60, 3
+    A = sym_norm(make_random_graph(rng, n), n)
+    e = jnp.asarray(rng.standard_normal((A.e_pad, H)).astype(np.float32))
+    s_all = np.asarray(edge_softmax(A, e))
+    for h in range(H):
+        s_h = np.asarray(edge_softmax(A, e[:, h]))
+        np.testing.assert_allclose(s_all[:, h], s_h, rtol=1e-6, atol=1e-7)
