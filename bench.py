@@ -350,8 +350,8 @@ def phase_powerlaw_1m():
     log(
         f"powerlaw 1M-node agg ({prep.kind}): {sec*1e3:.3f} ms  "
         f"({eps/1e6:.0f} M edges/s, {rl['pct_roofline']}% of "
-        f"{rl['bound']} roof; VPU {rl['pct_vpu']}% HBM {rl['pct_hbm']}% "
-        f"MXU {rl['pct_mxu']}%)"
+        f"{rl['bound']} roof; SOL {rl['pct_sol']}% of {rl['sol_bound']}; "
+        f"VPU {rl['pct_vpu']}% HBM {rl['pct_hbm']}% MXU {rl['pct_mxu']}%)"
     )
     EXTRA["powerlaw_1m_nnz"] = int(A.nnz)
     EXTRA["powerlaw_1m_backend"] = prep.kind
@@ -364,6 +364,8 @@ def phase_powerlaw_1m():
     EXTRA["powerlaw_1m_medges_s"] = round(eps / 1e6, 1)
     EXTRA["powerlaw_1m_pct_roofline"] = rl["pct_roofline"]
     EXTRA["powerlaw_1m_bound"] = rl["bound"]
+    EXTRA["powerlaw_1m_pct_sol"] = rl["pct_sol"]
+    EXTRA["powerlaw_1m_sol_bound"] = rl["sol_bound"]
 
     # full GCN-layer training step at 1M nodes: fwd + transposed-tile
     # backward + Adam — the reference's accb capability (sgrace.py:701-878)
@@ -408,8 +410,12 @@ def emit(rc: int):
 def main():
     import jax
 
+    from sgracex1_tpu.utils.compcache import enable_persistent_cache
     from sgracex1_tpu.utils.watchdog import device_alive_retry
 
+    # compiles (not runs) dominate the wall time of a cold capture through
+    # the relay; the persistent cache makes repeat captures start warm
+    enable_persistent_cache()
     log("devices:", jax.devices())
     # Relay outages are the #1 way a round loses its perf record (it
     # happened in round 1 and again while developing round 2): keep probing

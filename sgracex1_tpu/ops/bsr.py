@@ -439,6 +439,117 @@ def bsr_spmm_pallas(
     return out[: B.n_rows]
 
 
+def _bsr_rowloop_kernel(
+    row_start, tile_cb, tiles_hbm, h_hbm, out_ref,
+    tile_buf, h_buf, tile_sem, h_sem, *, tb: int,
+):
+    g = pl.program_id(0)
+    start = row_start[g]
+    cnt = row_start[g + 1] - start
+
+    def tile_dma(slot, k):
+        return pltpu.make_async_copy(
+            tiles_hbm.at[start + k], tile_buf.at[slot], tile_sem.at[slot]
+        )
+
+    def h_dma(slot, k):
+        cb = tile_cb[start + k]
+        return pltpu.make_async_copy(
+            h_hbm.at[pl.ds(cb * tb, tb)], h_buf.at[slot], h_sem.at[slot]
+        )
+
+    @pl.when(cnt > 0)
+    def _():  # warm-up: first tile + H block in flight before the loop
+        tile_dma(0, 0).start()
+        h_dma(0, 0).start()
+
+    out_ref[:] = jnp.zeros_like(out_ref)
+
+    def body(k, _):
+        slot = jax.lax.rem(k, 2)
+        nxt = jax.lax.rem(k + 1, 2)
+
+        @pl.when(k + 1 < cnt)
+        def _():
+            tile_dma(nxt, k + 1).start()
+            h_dma(nxt, k + 1).start()
+
+        tile_dma(slot, k).wait()
+        h_dma(slot, k).wait()
+        a = tile_buf[slot]
+        if a.shape[-1] == tb // 8 and tb > 8:  # 1-bit packed mask tile
+            a = unpack_mask01_tile(a, tb)
+        out_ref[:] += jax.lax.dot_general(
+            a.astype(jnp.bfloat16),
+            h_buf[slot],
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        return 0
+
+    jax.lax.fori_loop(0, cnt, body, 0)
+
+
+def bsr_spmm_rowloop(
+    B: BSRMatrix, H: jax.Array, *, interpret: bool | None = None
+) -> jax.Array:
+    """out = A @ H with one grid step per OUTPUT row block and a
+    double-buffered inner loop over that block's tiles.
+
+    The one-tile-per-grid-step kernel (bsr_spmm_pallas) pays ~1.3 us of
+    grid/pipeline bookkeeping per tile on top of its ~0.5 us of DMA
+    (measured r3: 4546 tiles at tb=512 -> 7.9 ms where the DMA floor is
+    ~2.1 ms). Here the grid is the row blocks (output written exactly
+    once, no revisit accumulation) and the tiles of one row stream through
+    a 2-deep VMEM buffer with manual async copies, so per-tile cost
+    approaches the DMA/MXU max. Consumes the same tile formats as
+    bsr_spmm_pallas (value / int8 mask / 1-bit packed)."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    tb = B.tb
+    inner = B.tiles.shape[-1]
+    n_ct = _round_up(B.n_cols, tb) // tb
+    n_rt = B.n_row_tiles
+    P = H.shape[1]
+    H = H.astype(jnp.bfloat16)
+    if H.shape[0] != n_ct * tb:
+        H = jnp.pad(H, ((0, n_ct * tb - H.shape[0]), (0, 0)))
+    # prefix offsets of each row block's tile run (tiles are rb-sorted)
+    row_start = jnp.searchsorted(
+        B.tile_rb, jnp.arange(n_rt + 1, dtype=B.tile_rb.dtype)
+    ).astype(jnp.int32)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n_rt,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY),
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY),
+        ],
+        out_specs=pl.BlockSpec((tb, P), lambda g, rs, cbs: (g, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((2, tb, inner), B.tiles.dtype),
+            pltpu.VMEM((2, tb, P), jnp.bfloat16),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    out = pl.pallas_call(
+        _functools.partial(_bsr_rowloop_kernel, tb=tb),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_rt * tb, P), jnp.float32),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B.num_tiles * tb * tb * P,
+            bytes_accessed=B.num_tiles
+            * (tb * inner * B.tiles.dtype.itemsize + tb * P * 2)
+            + n_rt * tb * P * 4,
+            transcendentals=0,
+        ),
+    )(row_start, B.tile_cb, B.tiles, H)
+    return out[: B.n_rows]
+
+
 def _bsr_int8_kernel(tile_rb, tile_cb, a_ref, h_ref, out_ref):
     g = pl.program_id(0)
     first = jnp.logical_or(g == 0, tile_rb[g] != tile_rb[jnp.maximum(g - 1, 0)])

@@ -38,7 +38,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from sgracex1_tpu.graph.csr import SparseMatrix
-from sgracex1_tpu.ops.spmm import spmm, spmm_t
+from sgracex1_tpu.ops.spmm import spmm, spmm_into, spmm_t
 from sgracex1_tpu.ops.pallas_spmm import (
     SpMMPlan,
     plan_spmm,
@@ -107,11 +107,18 @@ class PreparedAdjacency:
 
 
 # measured on the v5e relay (2026-08): effective HBM read bandwidth and
-# per-grid-step overhead of a Pallas kernel; used only for backend choice
-_HBM_BPS = 800e9
-_STEP_S = 0.7e-6
+# Backend-choice cost constants, CALIBRATED against the r3 on-chip 1M-node
+# sweep (benchmarks/diag_1m*.py, 2026-08-20): the BSR grid kernel's
+# measured per-tile seconds are 1.73u (tb=512 int8), 3.96u (tb=1024 int8),
+# 3.25u (tb=1024 packed) — reproduced within ~8% by an effective streaming
+# bandwidth of ~450 GB/s plus 0.5 us/grid-step, and the edge path measures
+# ~50 ns/edge at 1M rows (HBM random-access bound: one 512 B row gather +
+# one scatter per edge; the earlier 12 ns figure was measured at pubmed
+# size where the working set is cache-resident).
+_HBM_BPS = 450e9
+_STEP_S = 0.5e-6
 _PALLAS_GROUP_S = 7e-6  # one-hot kernel, be=1024 (measured pubmed/citeseer)
-_XLA_EDGE_S = 12e-9  # gather + segment-sum per edge (measured, P=128)
+_XLA_EDGE_S = 50e-9  # gather + scatter-add per edge (measured at 2^20 rows)
 _MXU_FLOPS = 180e12  # sustained bf16 (matmul microbench ~190 TF/s peak)
 _VPU_OPS = 3.4e12  # measured elementwise f32 (benchmarks/bench_vpu_cal.py)
 
@@ -244,6 +251,9 @@ def prepare_adjacency(
     no value-rounding error. Disable for layers that fake-quantize the
     adjacency in-jit (map_adjacency_vals cannot remap mask tiles).
     """
+    from sgracex1_tpu.utils.compcache import enable_persistent_cache
+
+    enable_persistent_cache()  # device builds/kernels compile once per machine
     n = max(A.n_rows, A.n_cols)
     fac = None
     if rank1 and method in ("auto", "hybrid", "bsr"):
@@ -417,7 +427,7 @@ def agg_matmul(prep: PreparedAdjacency, H: jax.Array) -> jax.Array:
     if prep.kind == "hybrid":
         out = _bsr_agg_scaled(prep, H)
         if prep.rest is not None:
-            out = out + spmm(prep.rest, H).astype(out.dtype)
+            out = spmm_into(prep.rest, H, out)
         return out.astype(H.dtype)
     return spmm(prep.A, H)
 

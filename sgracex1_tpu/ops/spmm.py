@@ -37,6 +37,28 @@ def spmm(A: SparseMatrix, H: jax.Array, *, accum_dtype=jnp.float32) -> jax.Array
     return out.astype(H.dtype)
 
 
+def spmm_into(
+    A: SparseMatrix, H: jax.Array, out: jax.Array, *, accum_dtype=jnp.float32
+) -> jax.Array:
+    """``out + A @ H`` scatter-added directly into ``out``.
+
+    The hybrid backend's remainder edges (ops/dispatch.py) used to pay
+    ``out + spmm(rest, H)``: a zeros-init of a second [n_rows, P]
+    accumulator, the scatter, then a full elementwise add — ~1.5 GB of HBM
+    traffic for 86k edges at the 1M-node scale (measured 4.5 ms of the
+    12.2 ms hybrid aggregation, r3 diagnostic). Scatter-adding the edge
+    contributions into the existing accumulator skips both full-size
+    passes; XLA aliases the scatter in-place inside a jit."""
+    gathered = jnp.take(H, A.cols, axis=0).astype(accum_dtype)
+    weighted = gathered * A.vals.astype(accum_dtype)[:, None]
+    return (
+        out.astype(accum_dtype)
+        .at[A.rows]
+        .add(weighted, indices_are_sorted=A.rows_sorted)
+        .astype(out.dtype)
+    )
+
+
 def spmm_t(A: SparseMatrix, H: jax.Array, *, accum_dtype=jnp.float32) -> jax.Array:
     """out = A.T @ H without materializing the transpose.
 

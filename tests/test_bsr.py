@@ -206,6 +206,37 @@ def test_packed_bitmask_spmm_matches_scipy(rng):
     )
 
 
+def test_rowloop_matches_scipy_all_formats(rng):
+    """bsr_spmm_rowloop (grid over row blocks, double-buffered manual DMA
+    over each row's tiles) must match scipy for value, int8 mask, and
+    1-bit packed tile formats — including empty row blocks (cover tiles)
+    and rows whose tile runs have odd/even lengths (both DMA slots)."""
+    from sgracex1_tpu.ops.bsr import (
+        bsr_bitmask_from_sparse,
+        bsr_mask_from_sparse,
+        bsr_spmm_rowloop,
+    )
+
+    n = 700
+    mat = sp.random(n, n, density=0.01, format="csr", random_state=7)
+    mat = mat.astype(np.float32)
+    A = SparseMatrix.from_scipy(mat)
+    H = rng.standard_normal((n, 128)).astype(np.float32)
+    Bv = bsr_from_sparse(A, tb=64, dtype=jnp.float32, cover_rows=True)
+    out = np.asarray(bsr_spmm_rowloop(Bv, jnp.asarray(H)))
+    np.testing.assert_allclose(out[:n], mat @ H, rtol=5e-2, atol=5e-2)
+
+    mat01 = (mat > 0).astype(np.float32)
+    A01 = SparseMatrix.from_scipy(mat01)
+    Bm = bsr_mask_from_sparse(A01, tb=64, cover_rows=True)
+    out = np.asarray(bsr_spmm_rowloop(Bm, jnp.asarray(H)))
+    np.testing.assert_allclose(out[:n], mat01 @ H, rtol=5e-2, atol=5e-2)
+
+    Bp = bsr_bitmask_from_sparse(A01, tb=1024, cover_rows=True)
+    out = np.asarray(bsr_spmm_rowloop(Bp, jnp.asarray(H)))
+    np.testing.assert_allclose(out[:n], mat01 @ H, rtol=5e-2, atol=5e-2)
+
+
 def test_pack_mask_bsr_matches_host_layout(rng):
     """Device pack == the documented bit-plane-major layout, and the
     in-kernel unpack inverts it."""

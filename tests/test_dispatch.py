@@ -160,7 +160,10 @@ def test_split_by_tile_density_partitions_edges(rng):
 
 def test_hybrid_agg_parity(rng):
     A, mat = _hub_graph(rng)
-    prep = prepare_adjacency(A, method="hybrid")
+    # pin tb=128: at the r3-calibrated edge cost (~50 ns at 1M rows) the
+    # auto threshold on this tiny graph would tile every edge, leaving no
+    # rest — the test's point is to exercise BOTH paths
+    prep = prepare_adjacency(A, method="hybrid", tb=128)
     assert prep.kind == "hybrid"
     assert prep.rest is not None  # the tail must actually hit the edge path
     H = rng.standard_normal((A.n_cols, 128)).astype(np.float32)
@@ -170,7 +173,7 @@ def test_hybrid_agg_parity(rng):
 
 def test_hybrid_backward_matches_transpose(rng):
     A, mat = _hub_graph(rng)
-    prep = prepare_adjacency(A, method="hybrid")
+    prep = prepare_adjacency(A, method="hybrid", tb=128)
     H = jnp.asarray(rng.standard_normal((A.n_cols, 128)).astype(np.float32))
     v = rng.standard_normal((A.n_rows, 128)).astype(np.float32)
     g = jax.grad(lambda h: jnp.vdot(agg_matmul(prep, h), v))(H)
@@ -179,7 +182,7 @@ def test_hybrid_backward_matches_transpose(rng):
 
 def test_hybrid_under_jit_as_argument(rng):
     A, mat = _hub_graph(rng)
-    prep = prepare_adjacency(A, method="hybrid")
+    prep = prepare_adjacency(A, method="hybrid", tb=128)
     H = jnp.asarray(rng.standard_normal((A.n_cols, 32)).astype(np.float32))
     out = np.asarray(jax.jit(agg_matmul)(prep, H))
     np.testing.assert_allclose(out, mat @ H, rtol=5e-2, atol=5e-2)
