@@ -42,7 +42,11 @@ def main(dataset: str = "cora"):
             # foldable/hoistable and XLA has been caught eliding it
             return xv.at[:, : out.shape[1]].add(out.astype(dtype) * 1e-12)
 
-        sec = timed_loop(fwd, Xd, iters=50)
+        # ~10-30 us ops need ~8000 amortized iterations: the two-point
+        # median jitter through the relay is a few ms, so at iters<=1000
+        # the estimate error is comparable to the op itself (observed r3:
+        # negative timings at 50, an impossible 245 TF/s at 1000)
+        sec = timed_loop(fwd, Xd, iters=8000)
         print(f"  {label} dense 2-layer fwd {sec * 1e3:8.4f} ms")
 
     # int8 path
@@ -63,7 +67,7 @@ def main(dataset: str = "cora"):
         dep = (out[:, : 1].astype(jnp.int32) & 1).astype(jnp.int8)
         return xv.at[:, :1].add(dep)
 
-    sec = timed_loop(fwd_i8, xs, iters=50)
+    sec = timed_loop(fwd_i8, xs, iters=8000)
     print(f"  int8 dense 2-layer fwd {sec * 1e3:8.4f} ms")
 
 

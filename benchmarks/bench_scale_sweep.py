@@ -1,0 +1,77 @@
+"""Scale sweep: hybrid aggregation at 2^20 and 2^22 nodes on one chip.
+
+The ogbn-products north star is ~2.4M nodes / ~123M edges; this sweep
+measures the single-chip aggregation + prepare cost trajectory the
+distributed path (parallel/halo.py) builds on. Run as
+``python -m benchmarks.bench_scale_sweep [log2_n ...]``.
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+import numpy as np
+
+
+def run(n_log2: int, avg_degree: int = 16):
+    import jax
+    import jax.numpy as jnp
+
+    from benchmarks.common import timed_loop
+    from sgracex1_tpu.graph.datasets import powerlaw_node_classification
+    from sgracex1_tpu.graph.normalize import sym_norm
+    from sgracex1_tpu.graph.reorder import degree_order, permute_graph
+    from sgracex1_tpu.ops.dispatch import agg_matmul, prepare_adjacency
+    from sgracex1_tpu.utils.roofline import cost_for_prep
+
+    n = 1 << n_log2
+    t0 = time.time()
+    data = powerlaw_node_classification(
+        n=n, avg_degree=avg_degree, num_features=8, seed=0
+    )
+    A = sym_norm(data.edge_index, data.num_nodes)
+    A, _ = permute_graph(A, degree_order(A))
+    gen_s = time.time() - t0
+    t0 = time.time()
+    prep = prepare_adjacency(A, method="auto", dense_max_bytes=0)
+    prep_s = time.time() - t0
+    print(
+        f"n=2^{n_log2} nnz={A.nnz}: gen+sort {gen_s:.1f}s "
+        f"prepare {prep_s:.1f}s -> {prep.kind} tb={prep.bsr.tb} "
+        f"tiles={prep.bsr.num_tiles} "
+        f"rest={prep.rest.nnz if prep.rest is not None else 0}",
+        flush=True,
+    )
+
+    # bf16 features, P=64 at >=2^22 nodes: f32 H/output plus both tile
+    # plans and the scatter's working copies exhaust the 16 GB HBM at
+    # P=128 (observed r3) — the per-edge rates stay comparable
+    P = 128 if n_log2 < 22 else 64
+    H = jax.random.normal(
+        jax.random.PRNGKey(0), (A.n_cols, P), jnp.bfloat16
+    )
+
+    ms = jax.devices()[0].memory_stats() or {}
+    print(f"  hbm in use after prepare: "
+          f"{ms.get('bytes_in_use', 0)/2**30:.2f} GiB "
+          f"(limit {ms.get('bytes_limit', 0)/2**30:.2f})", flush=True)
+
+    def step(h, p):
+        return h + agg_matmul(p, h) * 1e-12
+
+    k2 = max(4, min(24, int(2e9 / max(A.nnz, 1))))
+    sec = timed_loop(step, H, consts=(prep,), iters=k2, k1=max(2, k2 // 6),
+                     reps=5)
+    rl = cost_for_prep(prep, P).roofline(sec)
+    print(
+        f"  agg: {sec*1e3:.3f} ms  ({A.nnz/sec/1e6:.0f} M edges/s, "
+        f"SOL {rl['pct_sol']}% of {rl['sol_bound']})",
+        flush=True,
+    )
+
+
+if __name__ == "__main__":
+    sizes = [int(a) for a in sys.argv[1:]] or [20, 22]
+    for s in sizes:
+        run(s)

@@ -65,6 +65,7 @@ def bsr_from_sparse(
     A: SparseMatrix, *, tb: int = 256, dtype=jnp.bfloat16,
     cover_rows: bool = False, cover_cols: bool = False,
     device_build: bool | None = None, mask: bool = False,
+    batch_postprocess=None,
 ) -> BSRMatrix:
     """Host-side build: densify each nonempty (rb, cb) tile.
 
@@ -86,6 +87,12 @@ def bsr_from_sparse(
     thresholded per build batch so the f32 scratch never holds the whole
     tile set (a 1M-node hybrid tile set is ~5 GB in f32 but ~1.2 GB as
     int8 masks).
+
+    ``batch_postprocess`` (device build only) maps each built tile batch
+    before concatenation — used by the 1-bit pack so the int8 intermediate
+    never exceeds one batch (at 2^22 nodes the FULL int8 tile set is
+    ~10 GB and exhausted HBM before the r3 fix; per-batch packing caps the
+    peak at ~1.3 GB). Must preserve the leading (tile-count) axis.
     """
     r = np.asarray(A.rows[: A.nnz])
     c = np.asarray(A.cols[: A.nnz])
@@ -150,16 +157,19 @@ def bsr_from_sparse(
         # hits the relay's cross-process compile cache instead of paying
         # ~15-40 s per fresh tile count.
         batch = max(1, int(_DEVICE_BUILD_BATCH_BYTES) // (tb * tb * 4))
+        post = batch_postprocess or (lambda t: t)
         if T <= batch:
+            # postprocess BEFORE the [:T] slice: the bucketed T_b keeps the
+            # postprocess program compile-cache-stable across graphs
             T_b = min(batch, _round_up(T, 256))
-            dev_tiles = _device_tile_build(
+            dev_tiles = post(_device_tile_build(
                 T_b, tb, np_dtype, mask, inv_d, rr_d, cc_d, v_d, 0
-            )[:T]
+            ))[:T]
         else:
             parts = [
-                _device_tile_build(
+                post(_device_tile_build(
                     batch, tb, np_dtype, mask, inv_d, rr_d, cc_d, v_d, b0
-                )
+                ))
                 for b0 in range(0, T, batch)
             ]
             dev_tiles = jnp.concatenate(parts)[:T]
@@ -227,7 +237,7 @@ def _device_tile_build(T, tb, np_dtype, mask, inv, rr, cc, v, offset):
 def bsr_mask_from_sparse(
     A: SparseMatrix, *, tb: int = 256,
     cover_rows: bool = False, cover_cols: bool = False,
-    device_build: bool | None = None,
+    device_build: bool | None = None, batch_postprocess=None,
 ) -> BSRMatrix:
     """BSR of the edge MASK (int8 {0,1} tiles): all the flash-GAT kernel
     reads from the adjacency is ``tile > 0``, so int8 tiles carry the same
@@ -242,7 +252,7 @@ def bsr_mask_from_sparse(
     return bsr_from_sparse(
         A, tb=tb, mask=True,
         cover_rows=cover_rows, cover_cols=cover_cols,
-        device_build=device_build,
+        device_build=device_build, batch_postprocess=batch_postprocess,
     )
 
 
@@ -299,11 +309,17 @@ def bsr_bitmask_from_sparse(
     On the flash kernel the win is capacity (the kernel is VPU-bound:
     pubmed tb=1024 0.860 ms packed vs 0.847 int8); on the HBM-bound BSR
     aggregation at 1M-node scale the 8x fewer tile bytes are wall-time."""
+    assert tb % 8 == 0 and (tb // 8) % 128 == 0, "tb/8 must be lane-aligned"
     B = bsr_mask_from_sparse(
         A, tb=tb, cover_rows=cover_rows, cover_cols=cover_cols,
         device_build=device_build,
+        # pack each device-built batch immediately: the full int8 tile set
+        # is ~10 GB at 2^22 nodes and exhausted HBM before this (r3)
+        batch_postprocess=_pack_mask_batch,
     )
-    return pack_mask_bsr(B)
+    if B.tiles.shape[-1] == tb:  # host-build path: tiles still unpacked
+        return pack_mask_bsr(B)
+    return B
 
 
 def unpack_mask_tile(t: jax.Array, tb: int) -> jax.Array:
@@ -377,6 +393,10 @@ def _bsr_kernel(tile_rb, tile_cb, a_ref, h_ref, out_ref, tb: int):
 
     a = a_ref[:]
     if a.shape[-1] == tb // 8 and tb > 8:  # 1-bit packed mask tile
+        # (a per-bit-plane 8-matmul variant that skips the lane-concat
+        # relayout was measured IDENTICAL at 1M scale — 7.517 vs 7.505 ms,
+        # r3 diag V5 — and reverted; the unpack cost is the shift+and+cast
+        # op count, not the concat)
         a = unpack_mask01_tile(a, tb)
     out_ref[:] += jax.lax.dot_general(
         a.astype(jnp.bfloat16),

@@ -425,27 +425,48 @@ def agg_matmul(prep: PreparedAdjacency, H: jax.Array) -> jax.Array:
     if prep.kind == "bsr":
         return _bsr_agg_scaled(prep, H).astype(H.dtype)
     if prep.kind == "hybrid":
-        out = _bsr_agg_scaled(prep, H)
-        if prep.rest is not None:
-            out = spmm_into(prep.rest, H, out)
+        out = _bsr_agg_scaled(prep, H, rest=prep.rest)
         return out.astype(H.dtype)
     return spmm(prep.A, H)
 
 
-def _bsr_agg_scaled(prep: PreparedAdjacency, H: jax.Array) -> jax.Array:
+def _bsr_agg_scaled(
+    prep: PreparedAdjacency, H: jax.Array, rest: SparseMatrix | None = None
+) -> jax.Array:
     """Tile aggregation, with the rank-1 diagonal scalings applied around
     the mask-tile matmul when present: A @ H == r1_row * (M @ (r1_col * H)).
     The scalings are plain jnp ops OUTSIDE the custom-VJP kernel, so
     autodiff applies the product rule natively and the backward stays on
-    the transposed tile kernel."""
+    the transposed tile kernel.
+
+    ``rest`` (the hybrid backend's remainder edges) is scatter-added in
+    mask space, BEFORE the row scaling: every edge value factors exactly as
+    r1_row[r] * r1_col[c] (rank1_factor verifies the factorization or the
+    prep falls back to value tiles), so the M-space edge values are exactly
+    1 and the scatter adds the column-scaled features directly into the
+    tile kernel's accumulator. Measured ~1 ms cheaper at the 1M-node scale
+    than scattering after the row scaling (r3 diag V2): the scatter operand
+    is the raw kernel output, which XLA updates in place."""
     if prep.r1_row is None:
-        return _bsr_agg(prep.bsr, prep.bsr_t, H)
+        out = _bsr_agg(prep.bsr, prep.bsr_t, H)
+        if rest is not None:
+            out = spmm_into(rest, H, out)
+        return out
     # scale in H's dtype: upcasting to f32 here would materialize a full
     # f32 copy the kernel immediately casts back to bf16, doubling the
     # pre-kernel HBM traffic ({0,1} tiles make bf16 rounding equivalent
     # to the value-tile path)
     Hs = H * prep.r1_col[: H.shape[0], None].astype(H.dtype)
     out = _bsr_agg(prep.bsr, prep.bsr_t, Hs)
+    if rest is not None:
+        # static-slice away the edge padding: padded entries carry val 0,
+        # which the unit-value mask-space scatter cannot rely on
+        r = rest.rows[: rest.nnz]
+        c = rest.cols[: rest.nnz]
+        out = out.at[r].add(
+            jnp.take(Hs, c, axis=0).astype(out.dtype),
+            indices_are_sorted=rest.rows_sorted,
+        )
     return out * prep.r1_row[: out.shape[0], None]
 
 

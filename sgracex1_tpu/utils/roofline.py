@@ -213,11 +213,16 @@ def cost_flash_gat(B, F: int, H: int = 1) -> CostModel:
 
 def cost_rank1_scaling(n_rows: int, n_cols: int, P: int) -> CostModel:
     """Diagonal scaling passes around the mask-tile matmul (dispatch's
-    rank-1 path): H is read and the scaled copy written before the kernel,
-    the output re-read and re-written after."""
+    rank-1 path). MEASURED ~free at the 1M-node scale (r3 diagnostic:
+    bare kernel 7.86 ms vs kernel+scalings 7.72 ms): the column scaling
+    fuses into the H->bf16 cast pass the kernel needs anyway, and the row
+    scaling fuses into the output's dtype cast. Charge only the one extra
+    f32 pass over the output that the row scaling can add when the caller
+    keeps f32 (conservative upper bound; the earlier 4-pass model
+    overcharged the hybrid backend by ~2 GB and skewed its roofline)."""
     return CostModel(
         flops=float((n_rows + n_cols) * P),
-        hbm_bytes=float(2 * n_cols * P * 4 + 2 * n_rows * P * 4),
+        hbm_bytes=float(n_rows * P * 4),
         note="r1-scale",
     )
 

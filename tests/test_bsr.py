@@ -206,6 +206,34 @@ def test_packed_bitmask_spmm_matches_scipy(rng):
     )
 
 
+def test_bitmask_device_build_packs_per_batch(rng):
+    """The device-build path packs each tile batch BEFORE concatenation
+    (bounding the int8 intermediate at 2^22-node scale); the result must
+    equal the host build+pack, including across multiple batches."""
+    import sgracex1_tpu.ops.bsr as bsrmod
+    from sgracex1_tpu.ops.bsr import bsr_bitmask_from_sparse
+
+    n = 3000
+    mat = sp.random(n, n, density=0.003, format="csr", random_state=11)
+    mat.data[:] = 1.0
+    A = SparseMatrix.from_scipy(mat.astype(np.float32))
+    ref = bsr_bitmask_from_sparse(A, tb=1024, cover_rows=True,
+                                  device_build=False)
+    # force multiple device-build batches (1 tile per batch)
+    old = bsrmod._DEVICE_BUILD_BATCH_BYTES
+    bsrmod._DEVICE_BUILD_BATCH_BYTES = 1024 * 1024 * 4
+    try:
+        dev = bsr_bitmask_from_sparse(A, tb=1024, cover_rows=True,
+                                      device_build=True)
+    finally:
+        bsrmod._DEVICE_BUILD_BATCH_BYTES = old
+    assert dev.tiles.shape == ref.tiles.shape == (ref.num_tiles, 1024, 128)
+    np.testing.assert_array_equal(np.asarray(dev.tiles), np.asarray(ref.tiles))
+    np.testing.assert_array_equal(
+        np.asarray(dev.tile_rb), np.asarray(ref.tile_rb)
+    )
+
+
 def test_rowloop_matches_scipy_all_formats(rng):
     """bsr_spmm_rowloop (grid over row blocks, double-buffered manual DMA
     over each row's tiles) must match scipy for value, int8 mask, and

@@ -232,6 +232,26 @@ def test_rank1_hybrid_parity(rng):
     np.testing.assert_allclose(out, mat @ np.asarray(H), rtol=5e-2, atol=5e-2)
 
 
+def test_rank1_hybrid_rest_mask_space_scatter(rng):
+    """The hybrid rest edges scatter in MASK space (unit values, before the
+    row scaling — r3): forward and gradient must match scipy. (With fill=0
+    zero-valued loops the rank-1 verify refuses the graph — isolated nodes
+    need a 0 diagonal — and the prep falls back to value tiles, covered by
+    test_rank1_zero_fill_self_loops_drop_from_mask.)"""
+    # sparse off-diagonal tiles (~4 edges each) fall below the tb=128
+    # threshold while the self-loop diagonal tiles stay dense -> real rest
+    A, mat = _symnorm_graph(rng, n=4096, avg_degree=2, fill=1.0)
+    prep = prepare_adjacency(A, method="hybrid", tb=128)
+    assert prep.kind == "hybrid" and prep.r1_row is not None
+    assert prep.rest is not None and prep.rest.nnz > 0
+    H = jnp.asarray(rng.standard_normal((A.n_cols, 64)).astype(np.float32))
+    out = np.asarray(jax.jit(agg_matmul)(prep, H))
+    np.testing.assert_allclose(out, mat @ np.asarray(H), rtol=5e-2, atol=5e-2)
+    v = rng.standard_normal((A.n_rows, 64)).astype(np.float32)
+    g = jax.grad(lambda h: jnp.vdot(agg_matmul(prep, h), v))(H)
+    np.testing.assert_allclose(np.asarray(g), mat.T @ v, rtol=5e-2, atol=5e-2)
+
+
 def test_rank1_zero_fill_self_loops_drop_from_mask(rng):
     """fill=0 self-loops have value 0 == no contribution; the mask tiles
     must drop them, not aggregate them as 1s."""
