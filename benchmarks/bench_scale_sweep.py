@@ -34,7 +34,12 @@ def run(n_log2: int, avg_degree: int = 16):
     A, _ = permute_graph(A, degree_order(A))
     gen_s = time.time() - t0
     t0 = time.time()
-    prep = prepare_adjacency(A, method="auto", dense_max_bytes=0)
+    # inference-only prep: the sweep measures aggregation, and skipping the
+    # transposed tile plan halves tile HBM — the difference between P=128
+    # fitting at 2^22 nodes or not
+    prep = prepare_adjacency(
+        A, method="auto", dense_max_bytes=0, build_transpose=False
+    )
     prep_s = time.time() - t0
     print(
         f"n=2^{n_log2} nnz={A.nnz}: gen+sort {gen_s:.1f}s "
@@ -44,10 +49,10 @@ def run(n_log2: int, avg_degree: int = 16):
         flush=True,
     )
 
-    # bf16 features, P=64 at >=2^22 nodes: f32 H/output plus both tile
-    # plans and the scatter's working copies exhaust the 16 GB HBM at
-    # P=128 (observed r3) — the per-edge rates stay comparable
-    P = 128 if n_log2 < 22 else 64
+    # bf16 features: f32 H plus working copies exhaust HBM at 2^22 with
+    # f32 (observed r3). P=64 measured 1.9x SLOWER per edge than P=128 —
+    # half-wide blocks waste half of every 128-lane vreg.
+    P = 128
     H = jax.random.normal(
         jax.random.PRNGKey(0), (A.n_cols, P), jnp.bfloat16
     )

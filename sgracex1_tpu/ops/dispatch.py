@@ -230,6 +230,7 @@ def prepare_adjacency(
     tb: int | None = None,
     for_gat: bool = False,
     rank1: bool = True,
+    build_transpose: bool = True,
 ) -> PreparedAdjacency:
     """Choose and precompute the aggregation backend for a graph.
 
@@ -250,6 +251,11 @@ def prepare_adjacency(
     around the tile matmuls — half the tile HBM bytes of bf16 values and
     no value-rounding error. Disable for layers that fake-quantize the
     adjacency in-jit (map_adjacency_vals cannot remap mask tiles).
+
+    ``build_transpose=False`` skips the transposed tile plan (bsr/hybrid)
+    that only the backward pass reads — halves tile HBM for inference-only
+    use (at 2^22 nodes the two packed plans are ~2.4 GB; the r3 scale
+    sweep needs the headroom). Gradients through such a prep raise.
     """
     from sgracex1_tpu.utils.compcache import enable_persistent_cache
 
@@ -295,12 +301,13 @@ def prepare_adjacency(
 
     def _tiles_pair(
         M: SparseMatrix, tile_tb: int
-    ) -> tuple[BSRMatrix, BSRMatrix]:
+    ) -> tuple[BSRMatrix, BSRMatrix | None]:
         """(forward, transposed) tile plans: value tiles, int8 mask tiles
         when rank-1-factored, 1-bit packed masks when additionally
         lane-aligned (8x fewer tile bytes — decisive when the aggregation
         is HBM-bound). Packed tiles cannot be element-transposed, so the
-        transposed plan is built from the transposed edge list."""
+        transposed plan is built from the transposed edge list. The
+        transposed plan is skipped under ``build_transpose=False``."""
         if fac is not None:
             from sgracex1_tpu.ops.bsr import (
                 bsr_bitmask_from_sparse,
@@ -311,6 +318,8 @@ def prepare_adjacency(
                 B = bsr_bitmask_from_sparse(
                     M, tb=tile_tb, cover_rows=True, cover_cols=True
                 )
+                if not build_transpose:
+                    return jax.device_put(B), None
                 Bt = bsr_bitmask_from_sparse(
                     M.transpose(), tb=tile_tb, cover_rows=True,
                     cover_cols=True,
@@ -324,7 +333,8 @@ def prepare_adjacency(
                 M, tb=tile_tb, dtype=dense_dtype, cover_rows=True,
                 cover_cols=True,
             )
-        return jax.device_put(B), bsr_transpose(B)
+        B = jax.device_put(B)
+        return B, (bsr_transpose(B) if build_transpose else None)
 
     def _r1_fields() -> dict:
         if fac is None:
@@ -502,6 +512,11 @@ def _bsr_agg_fwd(B, B_t, H):
 
 def _bsr_agg_bwd(res, g):
     B_t, n_h = res
+    if B_t is None:
+        raise ValueError(
+            "backward through a prep built with build_transpose=False — "
+            "re-prepare with build_transpose=True for training"
+        )
     gH = bsr_spmm_pallas(B_t, g)
     if gH.shape[0] < n_h:
         gH = jnp.pad(gH, ((0, n_h - gH.shape[0]), (0, 0)))

@@ -252,6 +252,20 @@ def test_rank1_hybrid_rest_mask_space_scatter(rng):
     np.testing.assert_allclose(np.asarray(g), mat.T @ v, rtol=5e-2, atol=5e-2)
 
 
+def test_build_transpose_false_inference_only(rng):
+    """Inference-only prep (build_transpose=False): forward parity holds
+    with half the tile memory, and the backward raises a clear error
+    instead of silently producing garbage."""
+    A, mat = _symnorm_graph(rng)
+    prep = prepare_adjacency(A, method="bsr", tb=128, build_transpose=False)
+    assert prep.bsr is not None and prep.bsr_t is None
+    H = jnp.asarray(rng.standard_normal((A.n_cols, 64)).astype(np.float32))
+    out = np.asarray(agg_matmul(prep, H))
+    np.testing.assert_allclose(out, mat @ np.asarray(H), rtol=5e-2, atol=5e-2)
+    with pytest.raises(ValueError, match="build_transpose"):
+        jax.grad(lambda h: jnp.sum(agg_matmul(prep, h)))(H)
+
+
 def test_rank1_zero_fill_self_loops_drop_from_mask(rng):
     """fill=0 self-loops have value 0 == no contribution; the mask tiles
     must drop them, not aggregate them as 1s."""
