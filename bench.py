@@ -276,11 +276,18 @@ def phase_pubmed_flash_gat():
     carry = (params, opt.init(params))
     tp = TwoPoint(train_step, carry, consts=(B, X), k1=30, k2=180)
     sec_t = float(np.median([tp.estimate() for _ in range(3)]))
+    from sgracex1_tpu.utils.roofline import cost_flash_gat_bwd
+
+    # the step is fwd + fused two-pass backward (X@W, the score matvecs,
+    # and Adam are <2% of the modeled time at these shapes)
+    rl_t = (cost_flash_gat(B, F) + cost_flash_gat_bwd(B, F)).roofline(sec_t)
     log(
         f"pubmed flash GAT train step (fwd+bwd+Adam): {sec_t*1e3:.4f} ms "
-        f"({adj.nnz/sec_t/1e6:.0f} M edges/s)"
+        f"({adj.nnz/sec_t/1e6:.0f} M edges/s, SOL {rl_t['pct_sol']}% of "
+        f"{rl_t['sol_bound']})"
     )
     EXTRA["pubmed_gat_train_step_ms"] = round(sec_t * 1e3, 4)
+    EXTRA["pubmed_gat_train_step_pct_sol"] = rl_t["pct_sol"]
 
     # batched heads: H=4 in ONE kernel (the r2 marquee change, on-chip)
     H = 4

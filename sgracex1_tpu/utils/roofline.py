@@ -211,6 +211,43 @@ def cost_flash_gat(B, F: int, H: int = 1) -> CostModel:
     )
 
 
+# elementwise VPU ops per tile element in ONE backward pass's probability
+# recompute (_tile_probs with saved m/l: outer-add, LeakyReLU mul+max, mask
+# apply, subtract m, divide by l — no running max) plus that pass's own
+# elementwise work (row pass: pq, pq*lr, p*lr + three row reductions; col
+# pass: dE = p*(q-t)*lr). exp counted separately as a transcendental.
+FLASH_BWD_VPU_OPS_ROW_PASS = 7 + 6
+FLASH_BWD_VPU_OPS_COL_PASS = 7 + 3
+
+
+def cost_flash_gat_bwd(B, F: int, H: int = 1) -> CostModel:
+    """Fused flash-GAT backward (ops/flash_gat.flash_gat_backward): two
+    tile-streaming passes (row-sorted then column-sorted), each recomputing
+    tile probabilities (one exp/element) and paying one tb x tb x F MXU
+    matmul for the cotangent SDDMM ``q = gO @ Wh^T``; the column pass adds
+    the ``dWh = p^T @ gO`` matmul. Tiles, score/stat vectors, and the
+    Wh/gO blocks stream per tile in each pass."""
+    tb = B.tb
+    T = B.num_tiles
+    itemsize = B.tiles.dtype.itemsize * (
+        1 if B.tiles.shape[-1] == tb else B.tiles.shape[-1] / tb
+    )
+    elems = float(H * T * tb * tb)
+    vpu = (FLASH_BWD_VPU_OPS_ROW_PASS + FLASH_BWD_VPU_OPS_COL_PASS) * elems
+    return CostModel(
+        # q in both passes + dWh in the col pass = 3 tile matmuls, plus the
+        # ds2 colsum matvec (2 flops/elt)
+        flops=3.0 * 2.0 * elems * F + 2.0 * elems,
+        hbm_bytes=float(
+            2 * H * T * (tb * tb * itemsize + 2 * tb * F * 2 + 4 * tb * 4)
+            + H * B.n_row_tiles * tb * (F + 3) * 4
+        ),
+        note="flash-gat-bwd",
+        vpu_ops=vpu,
+        transcendentals=2.0 * elems,
+    )
+
+
 def cost_rank1_scaling(n_rows: int, n_cols: int, P: int) -> CostModel:
     """Diagonal scaling passes around the mask-tile matmul (dispatch's
     rank-1 path). MEASURED ~free at the 1M-node scale (r3 diagnostic:

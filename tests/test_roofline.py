@@ -81,3 +81,23 @@ def test_flash_gat_cost_scales_with_heads():
     c4 = cost_flash_gat(B, F=32, H=4)
     assert abs(c4.flops - 4 * c1.flops) < 1e-6 * c4.flops
     assert c4.hbm_bytes == 4 * c1.hbm_bytes
+
+
+def test_flash_gat_bwd_cost_model():
+    """The fused backward's cost model: two probability-recompute passes
+    (2 exps/element), three tile matmuls of FLOPs, and a SOL report whose
+    serial-mix floor exceeds the forward's (the backward does strictly
+    more work per tile)."""
+    from sgracex1_tpu.ops.bsr import bsr_from_sparse
+    from sgracex1_tpu.utils.roofline import cost_flash_gat_bwd
+
+    A = _adj()
+    B = bsr_from_sparse(A, tb=128)
+    f = cost_flash_gat(B, F=32)
+    b = cost_flash_gat_bwd(B, F=32)
+    assert b.transcendentals == 2 * f.transcendentals
+    assert b.flops > 2.9 * f.flops * 32 / (32 + 4)  # ~3 matmuls vs 1
+    assert b.vpu_ops > f.vpu_ops
+    r = (f + b).roofline(1e-3)
+    assert r["pct_sol"] > 0 and r["sol_bound"] in ("VPU", "MXU", "HBM",
+                                                   "VPU+MXU")
