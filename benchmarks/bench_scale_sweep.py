@@ -41,10 +41,14 @@ def run(n_log2: int, avg_degree: int = 16):
         A, method="auto", dense_max_bytes=0, build_transpose=False
     )
     prep_s = time.time() - t0
+    tile_stats = (
+        f"tb={prep.bsr.tb} tiles={prep.bsr.num_tiles}"
+        if prep.bsr is not None
+        else "(no tile plan)"
+    )
     print(
         f"n=2^{n_log2} nnz={A.nnz}: gen+sort {gen_s:.1f}s "
-        f"prepare {prep_s:.1f}s -> {prep.kind} tb={prep.bsr.tb} "
-        f"tiles={prep.bsr.num_tiles} "
+        f"prepare {prep_s:.1f}s -> {prep.kind} {tile_stats} "
         f"rest={prep.rest.nnz if prep.rest is not None else 0}",
         flush=True,
     )

@@ -218,6 +218,23 @@ def split_by_tile_density(
     )
 
 
+def _drop_zero_val_edges(M: SparseMatrix) -> SparseMatrix:
+    """Host-side filter of zero-valued edges (e.g. fill=0 self-loops).
+
+    The rank-1 hybrid remainder scatters edges in MASK space with unit
+    values (_bsr_agg_scaled), mirroring rank1_factor's exemption of
+    zero-valued edges from the factorization — a zero-valued edge left in
+    ``rest`` would be wrongly aggregated as 1, so it is dropped here at
+    prepare time (its true contribution to ``A @ H`` is zero)."""
+    v = np.asarray(M.vals[: M.nnz])
+    keep = v != 0
+    if keep.all():
+        return M
+    r = np.asarray(M.rows[: M.nnz])[keep]
+    c = np.asarray(M.cols[: M.nnz])[keep]
+    return SparseMatrix.from_coo(r, c, v[keep], (M.n_rows, M.n_cols))
+
+
 def prepare_adjacency(
     A: SparseMatrix,
     *,
@@ -360,6 +377,8 @@ def prepare_adjacency(
             ),
         )
         part, rest = split_by_tile_density(A, h_tb, h_thresh)
+        if fac is not None and rest.nnz:
+            rest = _drop_zero_val_edges(rest)
         B, Bt = _tiles_pair(part, h_tb)
         return _finish(PreparedAdjacency(
             A=A,

@@ -234,10 +234,11 @@ def test_rank1_hybrid_parity(rng):
 
 def test_rank1_hybrid_rest_mask_space_scatter(rng):
     """The hybrid rest edges scatter in MASK space (unit values, before the
-    row scaling — r3): forward and gradient must match scipy. (With fill=0
-    zero-valued loops the rank-1 verify refuses the graph — isolated nodes
-    need a 0 diagonal — and the prep falls back to value tiles, covered by
-    test_rank1_zero_fill_self_loops_drop_from_mask.)"""
+    row scaling — r3): forward and gradient must match scipy. (fill=0
+    zero-valued loops do NOT refuse the rank-1 verify — rank1_factor
+    exempts zero-valued edges — so a zero-valued loop landing in rest must
+    be dropped at prepare time; see
+    test_rank1_hybrid_zero_fill_loops_in_rest.)"""
     # sparse off-diagonal tiles (~4 edges each) fall below the tb=128
     # threshold while the self-loop diagonal tiles stay dense -> real rest
     A, mat = _symnorm_graph(rng, n=4096, avg_degree=2, fill=1.0)
@@ -264,6 +265,27 @@ def test_build_transpose_false_inference_only(rng):
     np.testing.assert_allclose(out, mat @ np.asarray(H), rtol=5e-2, atol=5e-2)
     with pytest.raises(ValueError, match="build_transpose"):
         jax.grad(lambda h: jnp.sum(agg_matmul(prep, h)))(H)
+
+
+def test_rank1_hybrid_zero_fill_loops_in_rest(rng):
+    """Regression (r3 advisor, high): a fill=0 zero-valued self-loop that
+    lands in the hybrid REST (n not a multiple of tb, so the partial
+    diagonal tile falls below the density threshold) must not be scattered
+    as a unit-valued mask edge — its true contribution to A @ H is zero.
+    prepare_adjacency now drops zero-valued rest edges host-side."""
+    A, mat = _symnorm_graph(rng, n=2048 + 6, avg_degree=16, fill=0.0)
+    assert (np.asarray(A.vals[: A.nnz]) == 0).any()
+    prep = prepare_adjacency(A, method="hybrid", tb=128)
+    assert prep.kind == "hybrid" and prep.r1_row is not None
+    assert prep.rest is not None and prep.rest.nnz > 0
+    # every surviving rest edge is positive (unit-valued in mask space)
+    assert (np.asarray(prep.rest.vals[: prep.rest.nnz]) != 0).all()
+    H = jnp.asarray(rng.standard_normal((A.n_cols, 64)).astype(np.float32))
+    out = np.asarray(jax.jit(agg_matmul)(prep, H))
+    np.testing.assert_allclose(out, mat @ np.asarray(H), rtol=5e-2, atol=5e-2)
+    v = rng.standard_normal((A.n_rows, 64)).astype(np.float32)
+    g = jax.grad(lambda h: jnp.vdot(agg_matmul(prep, h), v))(H)
+    np.testing.assert_allclose(np.asarray(g), mat.T @ v, rtol=5e-2, atol=5e-2)
 
 
 def test_rank1_zero_fill_self_loops_drop_from_mask(rng):
