@@ -130,36 +130,56 @@ def rank1_factor(
             s_c = np.where(np.bincount(c, minlength=n_c) == 0, 1.0, s)
             return s_r.astype(np.float32), s_c.astype(np.float32)
 
-    # General rank-1 values: alternating per-row/per-column means
-    # (Gauss-Seidel on the consistent system log s_r + log s_c = log v)
-    if iters is None:
-        iters = max(200, int(2 * np.sqrt(max(n_r, n_c))))
-    x_r = np.zeros(n_r)
-    x_c = np.zeros(n_c)
-    diag = r == c
-    if diag.any():
-        half = 0.5 * w[diag]
-        x_r[r[diag]] = half
-        if n_c == n_r:
-            x_c[r[diag]] = half
-    err = np.inf
-    for _ in range(iters):
-        x_r = np.bincount(r, weights=w - x_c[c], minlength=n_r) / cnt_r
-        x_c = np.bincount(c, weights=w - x_r[r], minlength=n_c) / cnt_c
-        err = float(np.abs(x_r[r] + x_c[c] - w).max())
-        if err < 0.1 * tol:
-            break
-    if not _verified(x_r, x_c):
-        if err < 1.0:  # residual shrank: likely rank-1 but unconverged
-            import warnings
+    # General rank-1 values: EXACT spanning-forest propagation on the
+    # bipartite (row-node, col-node) graph. The consistent system
+    # ``log s_r + log s_c = log v`` is determined up to one constant per
+    # connected component, so assigning x along any spanning tree (BFS
+    # predecessors) and verifying every edge is a one-pass exact solve —
+    # it replaces the r3 alternating Gauss-Seidel, whose iteration cap
+    # both cost 200 rounds on non-factorable graphs (the bench.py
+    # phase-1 warning) and could reject genuinely rank-1 graphs of large
+    # diameter. ``iters`` is kept for API compatibility and ignored.
+    del iters
+    import scipy.sparse as _sp
+    from scipy.sparse.csgraph import breadth_first_order
 
-            warnings.warn(
-                f"rank1_factor: alternating solve did not verify after "
-                f"{iters} iterations (residual {err:.2e}); falling back to "
-                f"value tiles — pass a larger iters= if the values are "
-                f"genuinely rank-1",
-                stacklevel=2,
-            )
+    nb = n_r + n_c
+    adj = _sp.coo_matrix(
+        (
+            np.ones(2 * len(r), np.int8),
+            (np.r_[r, c + n_r], np.r_[c + n_r, r]),
+        ),
+        shape=(nb, nb),
+    ).tocsr()
+    # edge-weight lookup (p, child) -> w via the sorted unique keys
+    key_order = np.argsort(key, kind="stable")
+    keys_sorted = key[key_order]
+    w_sorted = w[key_order]
+    x = np.zeros(nb)
+    seen = np.zeros(nb, bool)
+    deg = np.diff(adj.indptr)
+    for root in np.nonzero(deg)[0]:
+        if seen[root]:
+            continue
+        order, pred = breadth_first_order(
+            adj, root, directed=False, return_predecessors=True
+        )
+        seen[order] = True
+        nodes = order[1:]  # root keeps x = 0
+        if len(nodes) == 0:
+            continue
+        p = pred[nodes]
+        # normalize (parent, child) to a (row, col) edge key
+        rows_e = np.where(nodes < n_r, nodes, p)
+        cols_e = np.where(nodes < n_r, p, nodes) - n_r
+        we = w_sorted[
+            np.searchsorted(keys_sorted, rows_e * n_c + cols_e)
+        ]
+        # BFS order guarantees the parent is assigned before the child
+        for node, parent, wv in zip(nodes, p, we):
+            x[node] = wv - x[parent]
+    x_r, x_c = x[:n_r], x[n_r:]
+    if not _verified(x_r, x_c):
         return None
     s_r = np.exp(x_r)
     s_c = np.exp(x_c)

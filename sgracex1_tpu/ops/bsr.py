@@ -61,6 +61,41 @@ class BSRMatrix:
         return _round_up(self.n_rows, self.tb) // self.tb
 
 
+def bsr_tile_keys(
+    A: SparseMatrix, tb: int, *, cover_rows: bool = False,
+    cover_cols: bool = False,
+) -> np.ndarray:
+    """Host-side sorted tile keys ``rb << 32 | cb`` of bsr_from_sparse's
+    tile set (including the zero cover tiles). Exposed so schedule
+    builders (ops/fused_agg) can read the layout WITHOUT pulling the
+    device-resident tile_rb/tile_cb back through the TPU relay — a
+    round-trip measured at ~14 s per array at the 1M-node scale because
+    it synchronizes the in-flight device tile builds."""
+    r = np.asarray(A.rows[: A.nnz])
+    c = np.asarray(A.cols[: A.nnz])
+    key = (r // tb).astype(np.int64) << 32 | (c // tb).astype(np.int64)
+    uniq = np.unique(key)
+    # merge zero cover tiles into the key set BEFORE the scatter, so the
+    # tile array is built once, already sorted — no post-concat + resort
+    # of a multi-GB array
+    extra = []
+    if cover_rows:
+        n_rt = _round_up(A.n_rows, tb) // tb
+        have_rb = np.unique((uniq >> 32).astype(np.int64))
+        missing = np.setdiff1d(np.arange(n_rt, dtype=np.int64), have_rb)
+        if len(missing):
+            extra.append(missing << 32)
+    if cover_cols:
+        n_ct = _round_up(A.n_cols, tb) // tb
+        have_cb = np.unique(uniq & 0xFFFFFFFF)
+        missing = np.setdiff1d(np.arange(n_ct, dtype=np.int64), have_cb)
+        if len(missing):
+            extra.append(missing)
+    if extra:
+        uniq = np.unique(np.concatenate([uniq, *extra]))
+    return uniq
+
+
 def bsr_from_sparse(
     A: SparseMatrix, *, tb: int = 256, dtype=jnp.bfloat16,
     cover_rows: bool = False, cover_cols: bool = False,
@@ -100,25 +135,7 @@ def bsr_from_sparse(
     if mask:
         dtype = jnp.int8
     key = (r // tb).astype(np.int64) << 32 | (c // tb).astype(np.int64)
-    uniq = np.unique(key)
-    # merge zero cover tiles into the key set BEFORE the scatter, so the
-    # tile array is built once, already sorted — no post-concat + resort
-    # of a multi-GB array
-    extra = []
-    if cover_rows:
-        n_rt = _round_up(A.n_rows, tb) // tb
-        have_rb = np.unique((uniq >> 32).astype(np.int64))
-        missing = np.setdiff1d(np.arange(n_rt, dtype=np.int64), have_rb)
-        if len(missing):
-            extra.append(missing << 32)
-    if cover_cols:
-        n_ct = _round_up(A.n_cols, tb) // tb
-        have_cb = np.unique(uniq & 0xFFFFFFFF)
-        missing = np.setdiff1d(np.arange(n_ct, dtype=np.int64), have_cb)
-        if len(missing):
-            extra.append(missing)
-    if extra:
-        uniq = np.unique(np.concatenate([uniq, *extra]))
+    uniq = bsr_tile_keys(A, tb, cover_rows=cover_rows, cover_cols=cover_cols)
     T = max(len(uniq), 1)
     np_dtype = jnp.dtype(dtype)
     tile_bytes = T * tb * tb * np_dtype.itemsize
@@ -256,6 +273,36 @@ def bsr_mask_from_sparse(
     )
 
 
+def pad_bsr_tile_count(B: BSRMatrix, T_pad: int) -> BSRMatrix:
+    """Pad the tile set to a static count with all-zero tiles.
+
+    Zero tiles contribute nothing to ``A @ H`` (0 @ H == 0) and are
+    already a supported input of every tile kernel (the cover_rows /
+    cover_cols builds emit them), so padding only stabilizes the traced
+    shape — used by training loops that re-prepare fresh sampled
+    subgraphs every epoch to keep one compiled step program.
+
+    The pad tiles inherit the LAST tile's row block: the grid kernels
+    zero the output block on the first step of each contiguous tile_rb
+    run, so a pad tile starting a new run at an already-visited row
+    block would erase its accumulated output. Appending at the tail of
+    the final run keeps them no-op revisits."""
+    T = B.num_tiles
+    if T_pad <= T:
+        return B
+    pad = T_pad - T
+    tiles = jnp.concatenate(
+        [B.tiles, jnp.zeros((pad,) + B.tiles.shape[1:], B.tiles.dtype)]
+    )
+    pad_rb = jnp.broadcast_to(B.tile_rb[-1], (pad,))
+    return dataclasses.replace(
+        B,
+        tiles=tiles,
+        tile_rb=jnp.concatenate([B.tile_rb, pad_rb]),
+        tile_cb=jnp.concatenate([B.tile_cb, jnp.zeros(pad, jnp.int32)]),
+    )
+
+
 def pack_mask_bsr(B: BSRMatrix, *, batch_tiles: int | None = None) -> BSRMatrix:
     """int8 {0,1} mask tiles [T, tb, tb] -> 1-bit packed uint8
     [T, tb, tb/8], packed ON DEVICE in bounded batches (the int32 shift
@@ -331,13 +378,15 @@ def unpack_mask_tile(t: jax.Array, tb: int) -> jax.Array:
     return unpack_mask01_tile(t, tb) > 0.5
 
 
-def unpack_mask01_tile(t: jax.Array, tb: int) -> jax.Array:
-    """In-kernel unpack of one packed mask tile [tb, tb/8] -> f32 {0,1}
-    [tb, tb] — the additive-mask form the flash and BSR kernels consume
-    (shift-and-mask already yields {0,1}; no compare needed)."""
+def unpack_mask01_tile(t: jax.Array, tb: int, dtype=jnp.float32) -> jax.Array:
+    """In-kernel unpack of one packed mask tile [tb, tb/8] -> {0,1}
+    [tb, tb] in ``dtype`` — the additive-mask form the flash and BSR
+    kernels consume (shift-and-mask already yields {0,1}; no compare
+    needed). Matmul consumers pass bf16 to skip the extra f32->bf16
+    cast pass over the unpacked tile."""
     ti = t.astype(jnp.int32) & 0xFF
     planes = [((ti >> j) & 1) for j in range(8)]
-    return jnp.concatenate(planes, axis=-1).astype(jnp.float32)
+    return jnp.concatenate(planes, axis=-1).astype(dtype)
 
 
 def bsr_spmm_xla(B: BSRMatrix, H: jax.Array) -> jax.Array:

@@ -84,6 +84,11 @@ class PreparedAdjacency:
     # traffic of bf16 value tiles, no value-rounding error
     r1_row: Optional[jax.Array] = None
     r1_col: Optional[jax.Array] = None
+    # fully-fused schedules (ops/fused_agg): tiles + remainder chunks +
+    # rank-1 scalings in one kernel pass per direction. When present,
+    # agg_matmul prefers them over the bsr/rest composition above.
+    fused: Optional[object] = None
+    fused_t: Optional[object] = None
     kind: str = dataclasses.field(default="xla", metadata=dict(static=True))
 
     @property
@@ -360,6 +365,38 @@ def prepare_adjacency(
             r1_row=jax.device_put(fac[0]), r1_col=jax.device_put(fac[1])
         )
 
+    def _fused_pair(B, Bt, src: SparseMatrix, rest_m):
+        """Fused fwd/bwd schedules (ops/fused_agg): remainder chunks and
+        rank-1 scalings ride the tile kernel itself. ``src`` is the host
+        edge list the tiles were built from — the tile layout is
+        recomputed host-side (bsr_tile_keys) instead of pulling the
+        device tile_rb/tile_cb back through the relay."""
+        from sgracex1_tpu.ops.bsr import bsr_tile_keys
+        from sgracex1_tpu.ops.fused_agg import build_fused_plan
+
+        r1r = fac[0] if fac is not None else None
+        r1c = fac[1] if fac is not None else None
+        fused = build_fused_plan(
+            B, rest_m, r1_row=r1r, r1_col=r1c,
+            tile_keys=bsr_tile_keys(
+                src, B.tb, cover_rows=True, cover_cols=True
+            ),
+        )
+        fused_t = (
+            build_fused_plan(
+                Bt,
+                rest_m.transpose() if rest_m is not None else None,
+                r1_row=r1c,
+                r1_col=r1r,
+                tile_keys=bsr_tile_keys(
+                    src.transpose(), Bt.tb, cover_rows=True, cover_cols=True
+                ),
+            )
+            if Bt is not None
+            else None
+        )
+        return fused, fused_t
+
     if method == "hybrid":
         h_tb, h_thresh = hybrid_split or (
             tb,
@@ -380,6 +417,9 @@ def prepare_adjacency(
         if fac is not None and rest.nnz:
             rest = _drop_zero_val_edges(rest)
         B, Bt = _tiles_pair(part, h_tb)
+        fused, fused_t = _fused_pair(
+            B, Bt, part, rest if rest.nnz else None
+        )
         return _finish(PreparedAdjacency(
             A=A,
             dense=None,
@@ -388,11 +428,14 @@ def prepare_adjacency(
             bsr=B,
             bsr_t=Bt,
             rest=jax.device_put(rest) if rest.nnz else None,
+            fused=fused,
+            fused_t=fused_t,
             kind="hybrid",
             **_r1_fields(),
         ))
     if method == "bsr":
         B, Bt = _tiles_pair(A, tb)
+        fused, fused_t = _fused_pair(B, Bt, A, None)
         return _finish(PreparedAdjacency(
             A=A,
             dense=None,
@@ -400,6 +443,8 @@ def prepare_adjacency(
             plan_t=None,
             bsr=B,
             bsr_t=Bt,
+            fused=fused,
+            fused_t=fused_t,
             kind="bsr",
             **_r1_fields(),
         ))
@@ -422,18 +467,25 @@ def prepare_adjacency(
     raise ValueError(f"unknown method {method!r}")
 
 
-def prepare_from_config(A: SparseMatrix, cfg) -> PreparedAdjacency:
+def prepare_from_config(
+    A: SparseMatrix, cfg, *, for_gat: bool = False, method: str | None = None
+) -> PreparedAdjacency:
     """prepare_adjacency driven by SGRACEConfig's kernel-tiling tier
     (row_block/col_block/edge_block = the reference's compile-time
-    B_WIDTH_BLOCK / SPMM_BLOCK knobs; use_pallas forces the Pallas path)."""
+    B_WIDTH_BLOCK / SPMM_BLOCK knobs; use_pallas forces the Pallas path).
+
+    ``for_gat`` attaches the flash-attention mask tiles (GAT models);
+    ``method`` overrides the backend choice (default: cost-model auto,
+    or pallas when cfg.use_pallas)."""
     be = max(cfg.edge_block, 1024)
     be = ((be + 1023) // 1024) * 1024  # plan requires multiples of 1024
     return prepare_adjacency(
         A,
-        method="pallas" if cfg.use_pallas else "auto",
+        method=method or ("pallas" if cfg.use_pallas else "auto"),
         rb=max(cfg.row_block, 8),
         cb=max(cfg.col_block, 128),
         be=be,
+        for_gat=for_gat,
         # QAT layers fake-quantize adjacency values in-jit, which mask
         # tiles cannot represent (map_adjacency_vals)
         rank1=not cfg.fake_quantization,
@@ -452,8 +504,12 @@ def agg_matmul(prep: PreparedAdjacency, H: jax.Array) -> jax.Array:
     if prep.kind == "pallas":
         return _pallas_agg(prep.plan, prep.plan_t, H).astype(H.dtype)
     if prep.kind == "bsr":
+        if prep.fused is not None:
+            return _fused_agg(prep.fused, prep.fused_t, H).astype(H.dtype)
         return _bsr_agg_scaled(prep, H).astype(H.dtype)
     if prep.kind == "hybrid":
+        if prep.fused is not None:
+            return _fused_agg(prep.fused, prep.fused_t, H).astype(H.dtype)
         out = _bsr_agg_scaled(prep, H, rest=prep.rest)
         return out.astype(H.dtype)
     return spmm(prep.A, H)
@@ -500,18 +556,59 @@ def _bsr_agg_scaled(
 
 
 @jax.custom_vjp
+def _fused_agg(plan, plan_t, H: jax.Array) -> jax.Array:
+    """Differentiable fused aggregation (ops/fused_agg.bsr_spmm_fused):
+    forward on the fwd schedule, grad_H = A^T @ g on the transposed
+    schedule — both single kernel passes; plans get None cotangents."""
+    from sgracex1_tpu.ops.fused_agg import bsr_spmm_fused
+
+    return bsr_spmm_fused(plan, H)
+
+
+def _fused_agg_fwd(plan, plan_t, H):
+    from sgracex1_tpu.ops.fused_agg import bsr_spmm_fused
+
+    # zero-size token carries H's dtype (a bare np.dtype is not a pytree
+    # leaf the vjp machinery accepts)
+    return bsr_spmm_fused(plan, H), (
+        plan_t, H.shape[0], jnp.zeros((0,), H.dtype)
+    )
+
+
+def _fused_agg_bwd(res, g):
+    plan_t, n_h, h_tok = res
+    h_dtype = h_tok.dtype
+    if plan_t is None:
+        raise ValueError(
+            "backward through a prep built with build_transpose=False — "
+            "re-prepare with build_transpose=True for training"
+        )
+    from sgracex1_tpu.ops.fused_agg import bsr_spmm_fused
+
+    gH = bsr_spmm_fused(plan_t, g).astype(h_dtype)
+    if gH.shape[0] < n_h:
+        gH = jnp.pad(gH, ((0, n_h - gH.shape[0]), (0, 0)))
+    return None, None, gH[:n_h]
+
+
+_fused_agg.defvjp(_fused_agg_fwd, _fused_agg_bwd)
+
+
+@jax.custom_vjp
 def _pallas_agg(plan: SpMMPlan, plan_t: SpMMPlan, H: jax.Array) -> jax.Array:
     return spmm_pallas(plan, H)
 
 
 def _pallas_agg_fwd(plan, plan_t, H):
-    return spmm_pallas(plan, H), (plan, plan_t, H.shape[0])
+    return spmm_pallas(plan, H), (
+        plan, plan_t, H.shape[0], jnp.zeros((0,), H.dtype)
+    )
 
 
 def _pallas_agg_bwd(res, g):
     # grad_H = A^T @ g via the pre-built transpose schedule
-    plan, plan_t, n_h = res
-    gH = spmm_pallas(plan_t, g)
+    plan, plan_t, n_h, h_tok = res
+    gH = spmm_pallas(plan_t, g).astype(h_tok.dtype)
     if gH.shape[0] < n_h:
         gH = jnp.pad(gH, ((0, n_h - gH.shape[0]), (0, 0)))
     return None, None, gH[:n_h]
@@ -526,17 +623,21 @@ def _bsr_agg(B, B_t, H):
 
 
 def _bsr_agg_fwd(B, B_t, H):
-    return bsr_spmm_pallas(B, H), (B_t, H.shape[0])
+    return bsr_spmm_pallas(B, H), (
+        B_t, H.shape[0], jnp.zeros((0,), H.dtype)
+    )
 
 
 def _bsr_agg_bwd(res, g):
-    B_t, n_h = res
+    B_t, n_h, h_tok = res
     if B_t is None:
         raise ValueError(
             "backward through a prep built with build_transpose=False — "
             "re-prepare with build_transpose=True for training"
         )
-    gH = bsr_spmm_pallas(B_t, g)
+    # cast to the primal dtype: the kernel accumulates f32 while H may be
+    # bf16 (cotangent dtype must match the primal's)
+    gH = bsr_spmm_pallas(B_t, g).astype(h_tok.dtype)
     if gH.shape[0] < n_h:
         gH = jnp.pad(gH, ((0, n_h - gH.shape[0]), (0, 0)))
     return None, None, gH[:n_h]
@@ -627,7 +728,8 @@ def map_adjacency_vals(prep: PreparedAdjacency, fn) -> PreparedAdjacency:
             prep,
             A=prep.A.with_vals(fn(prep.A.vals)),
             dense=None, plan=None, plan_t=None, bsr=None, bsr_t=None,
-            rest=None, r1_row=None, r1_col=None, kind="xla",
+            rest=None, r1_row=None, r1_col=None, fused=None, fused_t=None,
+            kind="xla",
         )
     A = prep.A.with_vals(fn(prep.A.vals))
     dense = fn(prep.dense) if prep.dense is not None else None
@@ -653,8 +755,11 @@ def map_adjacency_vals(prep: PreparedAdjacency, fn) -> PreparedAdjacency:
     )
     rest = prep.rest.with_vals(fn(prep.rest.vals)) if prep.rest is not None else None
     # gat_bsr holds 0/1 MASK tiles: any 0 -> 0 quantizer leaves the mask
-    # semantics (tile > 0) unchanged, so it is deliberately not remapped
+    # semantics (tile > 0) unchanged, so it is deliberately not remapped.
+    # The fused schedules embed tile values AND remainder slot scales —
+    # dropping them falls back to the bsr/rest composition, whose pieces
+    # are all remapped above.
     return dataclasses.replace(
         prep, A=A, dense=dense, plan=plan, plan_t=plan_t, bsr=bsr,
-        bsr_t=bsr_t, rest=rest,
+        bsr_t=bsr_t, rest=rest, fused=None, fused_t=None,
     )

@@ -216,10 +216,13 @@ def flash_gat_forward(
     stats are internal — consume them only via flash_gat_backward / the
     halo stats-merge.
 
-    ``fast_exp`` swaps the per-element exp for the ~4-slot Schraudolph
-    approximation (max 3% relative error on attention probabilities; the
-    kernel is exp-bound, so this is ~1.5-2x on wall time). The per-row
-    rescale exps stay exact either way.
+    ``fast_exp`` swaps the per-element exp for the Schraudolph bitcast
+    approximation (max 3% relative error on attention probabilities).
+    MEASURED SLOWER in-kernel than ``jnp.exp`` on this chip (1.16 vs
+    1.02 ms at pubmed, r3 — the bitcast int ops cost more VPU slots than
+    the hardware exp's ~11; DESIGN.md §2) — kept default-off as the
+    recorded negative result. The per-row rescale exps stay exact either
+    way.
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"

@@ -1,0 +1,389 @@
+"""Fully-fused block-sparse aggregation: tiles + remainder + scalings in
+ONE Pallas kernel.
+
+Re-implements the aggregation stage of the reference engine
+(``kernelMatrixmult_all.cpp:2009-2048`` — one MAC per nonzero per cycle,
+no DRAM round-trips between pipeline stages) for the hybrid tile split.
+The r3 pipeline paid three extra HBM passes around the tile kernel at the
+1M-node scale, ~3 of its 10.6 ms:
+
+- ``Hs = H * r1_col`` materialized a scaled copy of the features;
+- the remainder edges (tiles below the density threshold) went through an
+  XLA scatter-add — measured ~40-53 ns per UNIQUE row (12.5 GB/s
+  effective; compaction does not help, the random row write itself is the
+  wall — benchmarks/diag_rest_v2.py);
+- ``out * r1_row`` + the bf16 cast read and rewrote the f32 output.
+
+This kernel folds all three into the tile grid:
+
+- the column scaling multiplies the H block in VMEM ([tb, 1] broadcast,
+  ~131k VPU ops/step);
+- remainder edges ride EXTRA GRID STEPS inserted into their output row
+  block's tile run: a chunk of K pre-gathered, pre-scaled feature rows
+  (``G = H[col] * scale`` — gather is ~4 ns/edge, it was never the
+  problem) lands in the accumulator through a one-hot matmul on the MXU,
+  reusing the output block that is already resident (the XLA scatter's
+  random HBM writes disappear entirely);
+- the row scaling applies once per output block on the last step of its
+  run, and the block is written back in bf16 (halving output DMA).
+
+The schedule (FusedAggPlan) is built host-side at prepare time; rest
+chunks are placed AFTER the first tile of their row-block run with
+repeated tile/H block indices, so Mosaic's revisit detection skips their
+tile and H DMAs.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools as _functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from sgracex1_tpu.graph.csr import SparseMatrix
+from sgracex1_tpu.ops.bsr import BSRMatrix, _round_up, unpack_mask01_tile
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class FusedAggPlan:
+    """One direction (forward or transposed) of the fused aggregation.
+
+    ``step_*`` arrays define the S = T + R grid steps: ``step_kind`` 0 is
+    a tile matmul (tile ``step_tile[g]``), 1 a remainder chunk (chunk
+    ``step_chunk[g]``). ``step_rb`` carries one trailing sentinel entry
+    for last-step-of-run detection. ``lrow`` holds each chunk's LOCAL
+    output rows as f32 (sentinel tb = dead slot; f32 because v5e has no
+    cheap small-int vector compare), ``slot_col``/``slot_scale`` drive
+    the in-jit gather ``G = H[slot_col] * slot_scale``. ``colscale`` /
+    ``rowscale`` are the rank-1 diagonal scalings shaped [n, tb, 1] (None
+    for value-tile plans)."""
+
+    B: BSRMatrix
+    step_rb: jax.Array  # int32[S+1]
+    step_cb: jax.Array  # int32[S]
+    step_tile: jax.Array  # int32[S]
+    step_chunk: jax.Array  # int32[S]
+    step_kind: jax.Array  # int32[S]
+    lrow: jax.Array  # f32[R, 8, K]
+    slot_col: jax.Array  # int32[R*K]
+    slot_scale: jax.Array  # f32[R*K]
+    colscale: Optional[jax.Array]  # f32[n_ct, tb, 1]
+    rowscale: Optional[jax.Array]  # f32[n_rt, tb, 1]
+    K: int = dataclasses.field(metadata=dict(static=True))
+
+    @property
+    def num_steps(self) -> int:
+        return self.step_cb.shape[0]
+
+    @property
+    def num_chunks(self) -> int:
+        return self.lrow.shape[0]
+
+
+def _chunk_cost_s(K: int, P: int = 128) -> float:
+    """Per-rest-chunk seconds (grid-step overhead + max(DMA, MXU))."""
+    dma = (K * P * 2 + 8 * K * 4) / 450e9
+    mxu = 2.0 * 1024 * K * P / 180e12
+    return 0.5e-6 + max(dma, mxu)
+
+
+def build_fused_plan(
+    B: BSRMatrix,
+    rest: Optional[SparseMatrix],
+    *,
+    r1_row: Optional[np.ndarray] = None,
+    r1_col: Optional[np.ndarray] = None,
+    K: Optional[int] = None,
+    tile_keys: Optional[np.ndarray] = None,
+) -> FusedAggPlan:
+    """Host-side schedule build (numpy; ~ms at 50k rest edges).
+
+    ``r1_row``/``r1_col`` present => rank-1 mask-tile mode: slot scales
+    are ``r1_col[col]`` and the diagonal scalings ship as [tb, 1] blocks.
+    Absent => value-tile mode: slot scales are the rest edge values.
+    Requires a row-covering tile set (prepare_adjacency builds with
+    cover_rows=True), so every row block has a tile run to attach rest
+    chunks to.
+
+    ``tile_keys`` (ops/bsr.bsr_tile_keys of the SAME source matrix and
+    cover flags) supplies the tile layout host-side; without it the
+    device tile_rb/tile_cb are pulled back — ~14 s each through the TPU
+    relay at the 1M-node scale."""
+    if tile_keys is not None:
+        tile_rb = (tile_keys >> 32).astype(np.int64)
+        tile_cb = (tile_keys & 0xFFFFFFFF).astype(np.int64)
+        if len(tile_keys) == 0:
+            tile_rb = np.zeros(1, np.int64)
+            tile_cb = np.zeros(1, np.int64)
+    else:
+        tile_rb = np.asarray(B.tile_rb)
+        tile_cb = np.asarray(B.tile_cb)
+    T, tb = len(tile_rb), B.tb
+    n_rt = B.n_row_tiles
+    n_ct = _round_up(B.n_cols, tb) // tb
+    rank1 = r1_col is not None
+
+    if rest is not None and rest.nnz:
+        rows = np.asarray(rest.rows[: rest.nnz]).astype(np.int64)
+        cols = np.asarray(rest.cols[: rest.nnz]).astype(np.int64)
+        vals = np.asarray(rest.vals[: rest.nnz], dtype=np.float32)
+        order = np.argsort(rows // tb, kind="stable")
+        rows, cols, vals = rows[order], cols[order], vals[order]
+        counts = np.bincount(rows // tb, minlength=n_rt)
+    else:
+        rows = cols = None
+        counts = np.zeros(n_rt, np.int64)
+
+    if K is None:
+        # pick the slot width by the same honest constants the backend
+        # cost model uses: chunk step cost vs wasted gather slots
+        best = None
+        for k in (128, 256, 512):
+            nck = -(-counts // k)
+            cost = nck.sum() * _chunk_cost_s(k) + nck.sum() * k * 4e-9
+            if best is None or cost < best[0]:
+                best = (cost, k)
+        K = best[1]
+
+    nc = (-(-counts // K)).astype(np.int64)  # chunks per row block
+    R = int(nc.sum())
+    R_pad = max(R, 1)
+    lrow = np.full((R_pad, 8, K), float(tb), np.float32)
+    slot_col = np.zeros(R_pad * K, np.int64)
+    slot_scale = np.zeros(R_pad * K, np.float32)
+    if R:
+        blk_of_chunk = np.repeat(np.arange(n_rt), nc)
+        edge_start = np.concatenate([[0], np.cumsum(counts)])
+        cid = 0
+        for b in np.nonzero(nc)[0]:
+            base = edge_start[b]
+            cnt = counts[b]
+            for j in range(nc[b]):
+                k = int(min(K, cnt - j * K))
+                e = slice(base + j * K, base + j * K + k)
+                lrow[cid, 0, :k] = (rows[e] - b * tb).astype(np.float32)
+                sl = slice(cid * K, cid * K + k)
+                slot_col[sl] = cols[e]
+                slot_scale[sl] = (
+                    r1_col[cols[e]] if rank1 else vals[e]
+                )
+                cid += 1
+    else:
+        blk_of_chunk = np.zeros(0, np.int64)
+
+    # interleave: per row block, [first tile][its chunks][remaining tiles]
+    S = T + R
+    s_rb = np.empty(S + 1, np.int32)
+    s_cb = np.empty(S, np.int32)
+    s_tile = np.empty(S, np.int32)
+    s_chunk = np.empty(S, np.int32)
+    s_kind = np.empty(S, np.int32)
+    tile_start = np.searchsorted(tile_rb, np.arange(n_rt + 1))
+    chunk_start = np.concatenate([[0], np.cumsum(nc)])
+    pos = 0
+    last_chunk = 0
+    for b in range(n_rt):
+        t0, t1 = tile_start[b], tile_start[b + 1]
+        c0, c1 = chunk_start[b], chunk_start[b + 1]
+        if t0 == t1:
+            if c0 != c1:
+                raise ValueError(
+                    "rest edges in a row block with no tiles — build the "
+                    "tile set with cover_rows=True"
+                )
+            continue
+        n = (t1 - t0) + (c1 - c0)
+        sl = slice(pos, pos + n)
+        s_rb[sl] = tile_rb[t0]
+        # tiles of this run, with the chunks spliced in after the first
+        tids = np.concatenate(
+            [[t0], np.full(c1 - c0, t0), np.arange(t0 + 1, t1)]
+        )
+        kinds = np.concatenate(
+            [[0], np.ones(c1 - c0, np.int64), np.zeros(t1 - t0 - 1, np.int64)]
+        )
+        chks = np.concatenate(
+            [
+                [last_chunk if c0 == c1 else c0],
+                np.arange(c0, c1),
+                np.full(t1 - t0 - 1, max(c1 - 1, 0) if c1 > c0 else last_chunk),
+            ]
+        )
+        s_tile[sl] = tids
+        s_kind[sl] = kinds
+        s_chunk[sl] = chks
+        s_cb[sl] = tile_cb[tids]
+        if c1 > c0:
+            last_chunk = c1 - 1
+        pos += n
+    assert pos == S, (pos, S)
+    s_rb[S] = n_rt  # sentinel: final step is always 'last'
+
+    dev = jax.device_put
+    colscale = rowscale = None
+    if rank1:
+        cs = np.zeros(n_ct * tb, np.float32)
+        cs[: len(r1_col)] = r1_col
+        rs = np.zeros(n_rt * tb, np.float32)
+        rs[: len(r1_row)] = r1_row
+        colscale = dev(jnp.asarray(cs.reshape(n_ct, tb, 1)))
+        rowscale = dev(jnp.asarray(rs.reshape(n_rt, tb, 1)))
+    return FusedAggPlan(
+        B=B,
+        step_rb=dev(jnp.asarray(s_rb)),
+        step_cb=dev(jnp.asarray(s_cb)),
+        step_tile=dev(jnp.asarray(s_tile)),
+        step_chunk=dev(jnp.asarray(s_chunk)),
+        step_kind=dev(jnp.asarray(s_kind)),
+        lrow=dev(jnp.asarray(lrow)),
+        slot_col=dev(jnp.asarray(slot_col.astype(np.int32))),
+        slot_scale=dev(jnp.asarray(slot_scale)),
+        colscale=colscale,
+        rowscale=rowscale,
+        K=K,
+    )
+
+
+def _fused_kernel(
+    srb, scb, stile, schunk, skind,
+    a_ref, h_ref, g_ref, lrow_ref, *scale_refs,
+    tb: int, K: int, with_scales: bool,
+):
+    if with_scales:
+        cs_ref, rs_ref, out_ref, acc_ref = scale_refs
+    else:
+        out_ref, acc_ref = scale_refs
+    g = pl.program_id(0)
+    S = pl.num_programs(0)
+    first = jnp.logical_or(g == 0, srb[g] != srb[jnp.maximum(g - 1, 0)])
+
+    @pl.when(first)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    is_tile = skind[g] == 0
+
+    @pl.when(is_tile)
+    def _():
+        a = a_ref[0]
+        if a.shape[-1] == tb // 8 and tb > 8:  # 1-bit packed mask tile
+            a = unpack_mask01_tile(a, tb, dtype=jnp.bfloat16)
+        else:
+            a = a.astype(jnp.bfloat16)
+        h = h_ref[:]
+        if with_scales:
+            h = h * cs_ref[0].astype(jnp.bfloat16)  # [tb, 1] broadcast
+        acc_ref[:] += jax.lax.dot_general(
+            a, h, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    @pl.when(jnp.logical_not(is_tile))
+    def _():
+        # one-hot scatter of K pre-gathered rest rows into the resident
+        # accumulator: rows ride the MXU, dead slots (lrow == tb) match
+        # no output row and add zero
+        l = lrow_ref[0, 0:1, :]  # [1, K] f32 local rows
+        # iota is integer-only in Mosaic; the compare runs in f32 (exact
+        # for values <= tb, and v5e's small-int vector compare is weak)
+        iota = jax.lax.broadcasted_iota(jnp.int32, (tb, K), 0).astype(
+            jnp.float32
+        )
+        oh = (iota == l).astype(jnp.bfloat16)
+        acc_ref[:] += jax.lax.dot_general(
+            oh, g_ref[0], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    last = jnp.logical_or(g == S - 1, srb[g + 1] != srb[g])
+
+    @pl.when(last)
+    def _():
+        o = acc_ref[:]
+        if with_scales:
+            o = o * rs_ref[0]  # [tb, 1] broadcast
+        out_ref[:] = o.astype(out_ref.dtype)
+
+
+def bsr_spmm_fused(
+    plan: FusedAggPlan, H: jax.Array, *, interpret: bool | None = None
+) -> jax.Array:
+    """out = A @ H for A = diag(r1_row) . M_tiles . diag(r1_col) + rest
+    (or A = tiles + rest in value mode), in one kernel pass. Returns
+    bf16 [n_rows, P] (the accumulator is f32 VMEM scratch; the halved
+    output DMA is part of the point)."""
+    B = plan.B
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    tb, K = B.tb, plan.K
+    inner = B.tiles.shape[-1]
+    n_ct = _round_up(B.n_cols, tb) // tb
+    n_rt = B.n_row_tiles
+    P = H.shape[1]
+    with_scales = plan.colscale is not None
+
+    Hb = H.astype(jnp.bfloat16)
+    # pre-gathered, pre-scaled remainder rows (zero scale on dead slots)
+    G = (
+        jnp.take(Hb, plan.slot_col, axis=0)
+        * plan.slot_scale[:, None].astype(jnp.bfloat16)
+    ).reshape(plan.num_chunks, K, P)
+    if Hb.shape[0] != n_ct * tb:
+        Hb = jnp.pad(Hb, ((0, n_ct * tb - Hb.shape[0]), (0, 0)))
+
+    in_specs = [
+        pl.BlockSpec(
+            (1, tb, inner), lambda g, rb, cb, ti, ch, kd: (ti[g], 0, 0)
+        ),
+        pl.BlockSpec((tb, P), lambda g, rb, cb, ti, ch, kd: (cb[g], 0)),
+        pl.BlockSpec((1, K, P), lambda g, rb, cb, ti, ch, kd: (ch[g], 0, 0)),
+        pl.BlockSpec((1, 8, K), lambda g, rb, cb, ti, ch, kd: (ch[g], 0, 0)),
+    ]
+    operands = [B.tiles, Hb, G, plan.lrow]
+    if with_scales:
+        in_specs += [
+            pl.BlockSpec(
+                (1, tb, 1), lambda g, rb, cb, ti, ch, kd: (cb[g], 0, 0)
+            ),
+            pl.BlockSpec(
+                (1, tb, 1), lambda g, rb, cb, ti, ch, kd: (rb[g], 0, 0)
+            ),
+        ]
+        operands += [plan.colscale, plan.rowscale]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=5,
+        grid=(plan.num_steps,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(
+            (tb, P), lambda g, rb, cb, ti, ch, kd: (rb[g], 0)
+        ),
+        scratch_shapes=[pltpu.VMEM((tb, P), jnp.float32)],
+    )
+    out = pl.pallas_call(
+        _functools.partial(
+            _fused_kernel, tb=tb, K=K, with_scales=with_scales
+        ),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_rt * tb, P), jnp.bfloat16),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B.num_tiles * tb * tb * P
+            + 2 * plan.num_chunks * tb * K * P,
+            bytes_accessed=B.num_tiles
+            * (tb * inner * B.tiles.dtype.itemsize + tb * P * 2)
+            + plan.num_chunks * K * P * 2
+            + n_rt * tb * P * 2,
+            transcendentals=0,
+        ),
+    )(
+        plan.step_rb, plan.step_cb, plan.step_tile, plan.step_chunk,
+        plan.step_kind, *operands,
+    )
+    return out[: B.n_rows]

@@ -23,10 +23,69 @@ from sgracex1_tpu.graph.batch import GraphBatch
 from sgracex1_tpu.graph.csr import SparseMatrix
 from sgracex1_tpu.graph.datasets import NodeClassificationData
 from sgracex1_tpu.graph.normalize import sym_norm
+from sgracex1_tpu.ops.dispatch import PreparedAdjacency, prepare_from_config
 
 
 class TrainState(train_state.TrainState):
     pass
+
+
+def _uses_attention(model) -> bool:
+    """Whether the model runs GAT layers (needs flash mask tiles attached).
+    Honors an explicit ``uses_attention`` attribute, else falls back to the
+    model-family naming convention (GATModel, Int8GAT, ...)."""
+    flag = getattr(model, "uses_attention", None)
+    if flag is not None:
+        return bool(flag)
+    return "GAT" in type(model).__name__
+
+
+def _prepare_backend(A: SparseMatrix, cfg: SGRACEConfig, model, prepare):
+    """Resolve the training loops' ``prepare`` argument into the adjacency
+    the jitted step consumes.
+
+    The reference's train() drives the accelerator, not the emulator
+    (demo_sgrace.py:476-509); the analogue here is that the product
+    training path engages the prepared tile/flash backends, not the
+    always-correct gather fallback. ``prepare`` is:
+
+    - ``"auto"`` (default): cost-model backend choice via
+      prepare_from_config (dense MXU matmul at Planetoid scale, BSR/flash
+      tiles at pubmed scale and beyond), with flash mask tiles attached
+      for GAT models;
+    - a backend name (``"dense"``/``"bsr"``/``"hybrid"``/``"pallas"``/
+      ``"xla"``): forced method;
+    - ``"off"``/``None``/``False``: the bare SparseMatrix edge path;
+    - a PreparedAdjacency: used as-is (caller controls everything).
+    """
+    if prepare is None or prepare is False or prepare == "off":
+        return A
+    if isinstance(prepare, PreparedAdjacency):
+        return prepare
+    method = None if prepare in (True, "auto") else prepare
+    return prepare_from_config(
+        A, cfg, for_gat=_uses_attention(model), method=method
+    )
+
+
+def _pad_prep_tiles(
+    prep: PreparedAdjacency, sticky: dict
+) -> PreparedAdjacency:
+    """Sticky tile-count padding across re-prepared graphs (sampled
+    batches): grows each tile plan to the largest count seen so far so
+    the jitted step keeps one traced shape (pad_bsr_tile_count)."""
+    from sgracex1_tpu.ops.bsr import pad_bsr_tile_count
+
+    updates = {}
+    for f in ("bsr", "bsr_t", "gat_bsr"):
+        B = getattr(prep, f)
+        if B is None:
+            continue
+        key = (f, B.tb)
+        sticky[key] = max(sticky.get(key, 0), B.num_tiles)
+        if sticky[key] > B.num_tiles:
+            updates[f] = pad_bsr_tile_count(B, sticky[key])
+    return dataclasses.replace(prep, **updates) if updates else prep
 
 
 def create_train_state(
@@ -58,9 +117,19 @@ def train_node_classifier(
     *,
     seed: int = 12345,
     log_every: int = 0,
+    prepare="auto",
 ) -> Tuple[TrainState, History]:
-    """Full-graph node classification (the reference's emulation driver)."""
-    A = sym_norm(data.edge_index, data.num_nodes).device()
+    """Full-graph node classification (the reference's emulation driver).
+
+    ``prepare`` (default "auto") runs the steps on the prepared
+    tile/dense/flash backends — see _prepare_backend. The adjacency is
+    passed to the jitted step as an ARGUMENT, not a closure capture:
+    captured arrays are embedded in the program shipped to the compiler
+    (HTTP 413 at pubmed size through the TPU relay)."""
+    A = _prepare_backend(
+        sym_norm(data.edge_index, data.num_nodes).device(), cfg, model,
+        prepare,
+    )
     x = jnp.asarray(data.x)
     y = jnp.asarray(data.y)
     masks = {
@@ -83,7 +152,7 @@ def train_node_classifier(
         )
 
     @jax.jit
-    def step(state, dropout_rng):
+    def step(state, A, dropout_rng):
         def loss_fn(params):
             logits = state.apply_fn(
                 params, A, x, training=True, rngs={"dropout": dropout_rng}
@@ -97,7 +166,7 @@ def train_node_classifier(
         return state, loss, logits
 
     @jax.jit
-    def evaluate(state):
+    def evaluate(state, A):
         logits = state.apply_fn(state.params, A, x, training=False)
         pred = jnp.argmax(logits, -1)
         accs = {}
@@ -108,8 +177,8 @@ def train_node_classifier(
     hist = History()
     for epoch in range(cfg.num_epochs):
         rng, drng = jax.random.split(rng)
-        state, loss, _ = step(state, drng)
-        accs = evaluate(state)
+        state, loss, _ = step(state, A, drng)
+        accs = evaluate(state, A)
         tr, te = float(accs["train"]), float(accs["test"])
         hist.loss.append(float(loss))
         hist.train_acc.append(tr)
@@ -134,17 +203,27 @@ def train_node_classifier_sampled(
     fanouts=(10, 10),
     seed: int = 12345,
     log_every: int = 0,
+    prepare="auto",
 ) -> Tuple[TrainState, History]:
     """Neighbor-sampled node classification — the reference's NeighborLoader
     path for graphs beyond the full-batch limit (demo_sgrace.py:112-125).
     Fresh subgraphs are sampled every epoch; evaluation runs full-graph.
+
+    ``prepare`` engages the prepared backends on BOTH paths: the full
+    graph once (evaluation), and each sampled batch at staging time. Batch
+    preps keep one compiled step program via the sticky pad floors the
+    sampler already applies (node/edge counts) plus sticky TILE-count
+    padding (pad_bsr_tile_count) for any attached tile plans.
     """
     from sgracex1_tpu.graph.sampling import make_neighbor_batches
 
     np_rng = np.random.default_rng(seed)
     train_nodes = np.nonzero(data.train_mask)[0]
 
-    A_full = sym_norm(data.edge_index, data.num_nodes).device()
+    A_full = _prepare_backend(
+        sym_norm(data.edge_index, data.num_nodes).device(), cfg, model,
+        prepare,
+    )
     x_full = jnp.asarray(data.x)
     y_full = jnp.asarray(data.y)
     masks = {
@@ -181,6 +260,7 @@ def train_node_classifier_sampled(
 
     hist = History()
     n_pad = e_pad = 0  # sticky pad floors: one compiled program per run
+    tile_pads: dict = {}  # sticky tile counts for per-batch preps
     for epoch in range(cfg.num_epochs):
         batches = make_neighbor_batches(
             data.edge_index, data.x, data.y, train_nodes,
@@ -191,9 +271,12 @@ def train_node_classifier_sampled(
         e_pad = max(e_pad, batches[0].A.e_pad)
         for b in batches:
             rng, drng = jax.random.split(rng)
+            bA = _prepare_backend(b.A.device(), cfg, model, prepare)
+            if isinstance(bA, PreparedAdjacency):
+                bA = _pad_prep_tiles(bA, tile_pads)
             state, loss = step(
                 state,
-                b.A.device(),
+                bA,
                 jnp.asarray(b.x),
                 jnp.asarray(b.y),
                 jnp.asarray(b.seed_mask.astype(np.float32)),
@@ -220,12 +303,42 @@ def train_graph_classifier(
     *,
     seed: int = 12345,
     log_every: int = 0,
+    prepare="auto",
 ) -> Tuple[TrainState, History]:
     """Graph classification (the molecule notebook's train()/test() loops,
-    Adam lr=0.01, cross-entropy — Graph_Classification.ipynb cell 20)."""
-    b0 = train_batches[0]
-    dev_batches = [jax.device_put(b) for b in train_batches]
-    dev_test = [jax.device_put(b) for b in test_batches]
+    Adam lr=0.01, cross-entropy — Graph_Classification.ipynb cell 20).
+    Batches are static across epochs, so each batch's adjacency is
+    prepared once at staging time (``prepare``, see _prepare_backend) and
+    the prepared backend amortizes over every epoch."""
+    tile_pads: dict = {}
+
+    def _stage(batches):
+        out = []
+        for b in batches:
+            b = jax.device_put(b)
+            bA = _prepare_backend(b.A, cfg, model, prepare)
+            if isinstance(bA, PreparedAdjacency):
+                bA = _pad_prep_tiles(bA, tile_pads)
+            out.append((bA, b))
+        return out
+
+    dev_batches = _stage(train_batches)
+    dev_test = _stage(test_batches)
+    # re-pad to the final sticky maxima so every batch shares one traced
+    # shape (tile_pads grew while staging)
+    dev_batches, dev_test = (
+        [
+            (
+                _pad_prep_tiles(A, tile_pads)
+                if isinstance(A, PreparedAdjacency)
+                else A,
+                b,
+            )
+            for A, b in split
+        ]
+        for split in (dev_batches, dev_test)
+    )
+    A0, b0 = dev_batches[0]
 
     rng = jax.random.PRNGKey(seed)
     rng, init_rng = jax.random.split(rng)
@@ -233,16 +346,16 @@ def train_graph_classifier(
     state = create_train_state(
         model,
         init_rng,
-        (b0.A, jnp.asarray(b0.x), jnp.asarray(b0.graph_ids), b0.num_graphs),
+        (A0, jnp.asarray(b0.x), jnp.asarray(b0.graph_ids), b0.num_graphs),
         lr,
     )
 
     @jax.jit
-    def step(state, batch: GraphBatch, dropout_rng):
+    def step(state, A, batch: GraphBatch, dropout_rng):
         def loss_fn(params):
             logits = state.apply_fn(
                 params,
-                batch.A,
+                A,
                 batch.x,
                 batch.graph_ids,
                 batch.num_graphs,
@@ -257,10 +370,10 @@ def train_graph_classifier(
         return state.apply_gradients(grads=grads), loss
 
     @jax.jit
-    def count_correct(state, batch: GraphBatch):
+    def count_correct(state, A, batch: GraphBatch):
         logits = state.apply_fn(
             state.params,
-            batch.A,
+            A,
             batch.x,
             batch.graph_ids,
             batch.num_graphs,
@@ -272,17 +385,17 @@ def train_graph_classifier(
 
     def accuracy(batches):
         c = t = 0
-        for b in batches:
-            ci, ti = count_correct(state, b)
+        for A, b in batches:
+            ci, ti = count_correct(state, A, b)
             c += int(ci)
             t += int(ti)
         return c / max(t, 1)
 
     hist = History()
     for epoch in range(cfg.num_epochs):
-        for b in dev_batches:
+        for A, b in dev_batches:
             rng, drng = jax.random.split(rng)
-            state, loss = step(state, b, drng)
+            state, loss = step(state, A, b, drng)
         tr, te = accuracy(dev_batches), accuracy(dev_test)
         hist.loss.append(float(loss))
         hist.train_acc.append(tr)
@@ -341,12 +454,15 @@ def train_multilabel_inductive(
     fill: float = 1.0,
     seed: int = 12345,
     log_every: int = 0,
+    prepare="auto",
 ) -> Tuple[TrainState, History]:
     """Inductive multi-label node classification over whole held-out graphs
     (the PPI protocol): sigmoid BCE loss, micro-F1 metric, best model by
     val F1. All graphs are padded to one static (n_pad, e_pad) shape so a
     single compiled program serves the whole dataset; History.*_acc carries
-    micro-F1.
+    micro-F1. Each graph's adjacency is prepared once (``prepare``) and
+    reused every epoch; sticky tile-count padding keeps tile plans at one
+    traced shape across graphs.
     """
     all_graphs = list(train_graphs) + list(val_graphs) + list(test_graphs)
     n_pad = max(g.num_nodes for g in all_graphs)
@@ -355,20 +471,36 @@ def train_multilabel_inductive(
     # one shared e_pad across all splits -> one compiled program
     tmp = [_pad_multilabel_graph(g, n_pad, fill) for g in all_graphs]
     e_pad = max(it[0].e_pad for it in tmp)
+    tile_pads: dict = {}
 
     def prep(graphs):
         items = [_pad_multilabel_graph(g, n_pad, fill) for g in graphs]
-        return [
-            (
+        out = []
+        for A, x, y, m in items:
+            bA = _prepare_backend(
                 A.pad_edges_to(e_pad).with_uniform_nnz().device(),
-                jnp.asarray(x),
-                jnp.asarray(y),
-                jnp.asarray(m),
+                cfg, model, prepare,
             )
-            for A, x, y, m in items
-        ]
+            if isinstance(bA, PreparedAdjacency):
+                bA = _pad_prep_tiles(bA, tile_pads)
+            out.append((bA, jnp.asarray(x), jnp.asarray(y), jnp.asarray(m)))
+        return out
 
     train_b, val_b, test_b = prep(train_graphs), prep(val_graphs), prep(test_graphs)
+    # second pass: pad every graph's tile plans up to the dataset maxima
+    # (tile_pads grew while staging, so early graphs were under-padded)
+    train_b, val_b, test_b = (
+        [
+            (
+                _pad_prep_tiles(A, tile_pads)
+                if isinstance(A, PreparedAdjacency)
+                else A,
+                x, y, m,
+            )
+            for A, x, y, m in split
+        ]
+        for split in (train_b, val_b, test_b)
+    )
 
     rng = jax.random.PRNGKey(seed)
     rng, init_rng = jax.random.split(rng)
