@@ -43,6 +43,7 @@ _START = time.time()
 # filled incrementally; emitted even if a later phase hangs or fails
 RESULT: dict = {}
 EXTRA: dict = {}
+_STASH: dict = {}  # cross-phase host objects (e.g. the 1M graph)
 
 
 def log(*a):
@@ -340,26 +341,38 @@ def phase_powerlaw_1m():
         + f"  (prepare {time.time()-t0:.0f}s)"
     )
     EXTRA["powerlaw_1m_prepare_s"] = round(time.time() - t0, 1)
-    rng = np.random.default_rng(0)
+    if prep.fused is not None:
+        EXTRA["powerlaw_1m_rest_chunks"] = int(prep.fused.num_chunks)
+    _STASH["powerlaw_A"] = A  # reused by the int8 phase
     key = jax.random.PRNGKey(0)
-    H = jax.random.normal(key, (A.n_cols, 128), jnp.float32)  # on-device
+    # bf16 features: the production dtype at this scale (the 2^21+ scale
+    # sweep requires it for capacity; P=128 bf16 is the documented fast
+    # config). The f32 secondary below quantifies the input-cast pass.
+    H = jax.random.normal(key, (A.n_cols, 128), jnp.bfloat16)
 
     def step(h, prep):
         out = agg_matmul(prep, h)
-        return h + out * 1e-12
+        return h + out * jnp.asarray(1e-12, h.dtype)
 
     tp = TwoPoint(step, H, consts=(prep,), k1=4, k2=24)
     sec = float(np.median([tp.estimate(reps=5) for _ in range(3)]))
     eps = A.nnz / sec
     from sgracex1_tpu.utils.roofline import cost_for_prep
 
-    rl = cost_for_prep(prep, 128).roofline(sec)
+    rl = cost_for_prep(prep, 128, h_itemsize=2).roofline(sec)
     log(
-        f"powerlaw 1M-node agg ({prep.kind}): {sec*1e3:.3f} ms  "
+        f"powerlaw 1M-node agg ({prep.kind}, bf16): {sec*1e3:.3f} ms  "
         f"({eps/1e6:.0f} M edges/s, {rl['pct_roofline']}% of "
         f"{rl['bound']} roof; SOL {rl['pct_sol']}% of {rl['sol_bound']}; "
         f"VPU {rl['pct_vpu']}% HBM {rl['pct_hbm']}% MXU {rl['pct_mxu']}%)"
     )
+    # secondary: f32 features (adds the in-pipeline f32 -> bf16 cast pass)
+    H32 = jax.random.normal(key, (A.n_cols, 128), jnp.float32)
+    tp32 = TwoPoint(step, H32, consts=(prep,), k1=4, k2=24)
+    sec32 = float(tp32.estimate(reps=5))
+    EXTRA["powerlaw_1m_agg_f32_ms"] = round(sec32 * 1e3, 3)
+    log(f"powerlaw 1M-node agg (f32 features): {sec32*1e3:.3f} ms "
+        f"({A.nnz/sec32/1e6:.0f} M edges/s)")
     EXTRA["powerlaw_1m_nnz"] = int(A.nnz)
     EXTRA["powerlaw_1m_backend"] = prep.kind
     if prep.bsr is not None:
@@ -404,6 +417,124 @@ def phase_powerlaw_1m():
     EXTRA["powerlaw_1m_train_step_ms"] = round(sec_t * 1e3, 3)
 
 
+def phase_int8():
+    """Quantized-engine perf evidence — the reference's headline capability
+    (sgrace.py:334-365,1296-1845) as driver-captured numbers:
+
+    - pubmed int8 flash-GAT forward (integer X@W + score matvecs feeding
+      the flash tile kernel) vs the float flash number;
+    - pubmed full-integer 2-layer GCN forward (both matmuls int8 on the
+      MXU, shifted-int8 value tiles, no dense N x N);
+    - 1M-node int8 value-tile aggregation on the hybrid split's dense
+      part (bsr_spmm_int8) vs the packed-mask bf16 number — the
+      adjacency-quantized regime where values are int8, masks can't
+      apply.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from sgracex1_tpu.graph.reorder import rcm_order, permute_graph
+    from sgracex1_tpu.ops.bsr import bsr_mask_from_sparse, bsr_spmm_int8
+    from sgracex1_tpu.quant import int8 as qi8
+    from sgracex1_tpu.quant.calibration import CalibrationTable
+
+    adj = load_pubmed_adj()
+    adj, _ = permute_graph(adj, rcm_order(adj))
+    rng = np.random.default_rng(0)
+    N, F_in, F = adj.n_rows, 64, 32
+
+    # --- int8 flash GAT forward on pubmed ---
+    X = rng.uniform(0, 1, (N, F_in)).astype(np.float32)
+    W = rng.uniform(-0.5, 0.5, (F_in, F)).astype(np.float32)
+    att = rng.uniform(-0.5, 0.5, (2 * F, 1)).astype(np.float32)
+    c_x = qi8.QuantConstants(
+        s_o=1.0, s=1.0 / 255.0, z=0, qbits=8, signed=False
+    )
+    c_w = qi8.QuantConstants(
+        s_o=1.0, s=0.5 / 127.0, z=0, qbits=8, signed=True
+    )
+    layer = qi8.freeze_gat_layer(W, att, c_x, c_w, h_absmax=8.0)
+    xs = qi8.quantize_unsigned_shifted(jnp.asarray(X), c_x)
+    B = bsr_mask_from_sparse(adj, tb=1024)
+
+    def gat_step(x, B, layer):
+        acc, _ = qi8.int8_gat_layer_flash(layer, B, x)
+        return (x.astype(jnp.float32) + acc[:, :1] * 1e-12).astype(x.dtype)
+
+    tp = TwoPoint(gat_step, xs, consts=(B, layer), k1=60, k2=360)
+    sec = float(np.median([tp.estimate() for _ in range(3)]))
+    log(f"pubmed int8 flash GAT fwd (F_in=64->F=32): {sec*1e3:.4f} ms "
+        f"({adj.nnz/sec/1e6:.0f} M edges/s)")
+    EXTRA["int8_pubmed_flash_gat_ms"] = round(sec * 1e3, 4)
+    if EXTRA.get("pubmed_flash_gat_ms"):
+        EXTRA["int8_flash_vs_float"] = round(
+            EXTRA["pubmed_flash_gat_ms"] / (sec * 1e3), 2
+        )
+
+    # --- full-integer 2-layer GCN on pubmed ---
+    h1, p = 32, 16
+    W1 = rng.uniform(-0.5, 0.5, (F_in, h1)).astype(np.float32)
+    W2 = rng.uniform(-0.5, 0.5, (h1, p)).astype(np.float32)
+    amax = qi8.collect_amax_gcn2_sparse(adj, X, W1, W2)
+    cal = CalibrationTable.for_qbits(
+        8,
+        dict(w_min=-0.5, w_max=0.5, w_min2=-0.5, w_max2=0.5,
+             f_min=0.0, f_max=1.0, a_min=0.0,
+             a_max=float(np.asarray(adj.vals).max()) or 1.0),
+    )
+    net = qi8.freeze_gcn2_sparse(W1, W2, adj, cal, tb=512, **amax)
+    xs2 = qi8.quantize_unsigned_shifted(jnp.asarray(X), cal.features)
+
+    def gcn_step(x, net):
+        out = qi8.int8_gcn2_sparse_forward(net, x)
+        return (x.astype(jnp.float32) + out[:, :1] * 1e-12).astype(x.dtype)
+
+    tp = TwoPoint(gcn_step, xs2, consts=(net,), k1=60, k2=360)
+    sec2 = float(np.median([tp.estimate() for _ in range(3)]))
+    log(f"pubmed full-integer 2-layer GCN fwd: {sec2*1e3:.4f} ms "
+        f"({2*adj.nnz/sec2/1e6:.0f} M edge-layers/s)")
+    EXTRA["int8_pubmed_gcn2_ms"] = round(sec2 * 1e3, 4)
+
+    # --- 1M-node int8 value-tile aggregation (adjacency-quantized) ---
+    A = _STASH.get("powerlaw_A")
+    if A is None:
+        log("int8 1M: powerlaw graph unavailable (phase 3 skipped)")
+        return
+    from sgracex1_tpu.ops.dispatch import split_by_tile_density
+
+    part, rest_m = split_by_tile_density(A, 1024, 65)
+    c_a = qi8.QuantConstants(
+        s_o=1.0,
+        s=max(float(np.asarray(A.vals[: A.nnz]).max()), 1e-8) / 255.0,
+        z=0, qbits=8, signed=False,
+    )
+    t0 = time.time()
+    B8 = qi8.bsr_int8_from_sparse(
+        part, c_a, tb=1024, cover_cols=True, device_build=None
+    )
+    log(f"1M int8 tile build: {time.time()-t0:.0f}s "
+        f"({B8.num_tiles} tiles int8)")
+    Hq = jax.device_put(
+        (rng.integers(-127, 127, (A.n_cols, 128))).astype(np.int8)
+    )
+
+    def agg8_step(h, B8):
+        acc = bsr_spmm_int8(B8, h)
+        return (h.astype(jnp.int32) + acc[: h.shape[0], :] // (1 << 30)).astype(
+            jnp.int8
+        )
+
+    tp = TwoPoint(agg8_step, Hq, consts=(B8,), k1=4, k2=24)
+    sec3 = float(np.median([tp.estimate(reps=5) for _ in range(3)]))
+    log(f"powerlaw 1M int8 tile agg ({B8.num_tiles} tiles): "
+        f"{sec3*1e3:.3f} ms ({part.nnz/sec3/1e6:.0f} M edges/s)")
+    EXTRA["int8_1m_agg_ms"] = round(sec3 * 1e3, 3)
+    if EXTRA.get("powerlaw_1m_agg_ms"):
+        EXTRA["int8_1m_vs_bf16"] = round(
+            EXTRA["powerlaw_1m_agg_ms"] / (sec3 * 1e3), 2
+        )
+
+
 def emit(rc: int):
     if RESULT:
         RESULT["extra"] = EXTRA
@@ -445,6 +576,7 @@ def main():
         ("citeseer", phase_citeseer, 240.0),
         ("pubmed_flash_gat", phase_pubmed_flash_gat, 360.0),
         ("powerlaw_1m", phase_powerlaw_1m, 480.0),
+        ("int8", phase_int8, 240.0),
     ]
     for name, fn, budget in phases:
         if remaining() < budget * 0.5:

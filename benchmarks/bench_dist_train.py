@@ -132,7 +132,113 @@ def bench(n_devices, data, A, base_eps=None, *, balance=True,
     return eps
 
 
+def main_large(n_log2: int = 22, d: int = 16, ndev: int = 8):
+    """North-star-scale distributed prepare + train step (VERDICT r3 #3).
+
+    Runs the FULL distributed prepare at 2^n_log2 nodes — vectorized
+    build_halo, global rank-1 detection, and the per-shard fused tile
+    plans at single-chip generation (1-bit packed masks + remainder
+    chunks, parallel/halo_fused) — printing prepare seconds, plan bytes,
+    and the exact halo bytes/device. The timed training step runs the
+    edge path: on the virtual CPU mesh the Pallas kernels would run in
+    interpret mode, which unrolls the (thousands-step) grid at trace
+    time; the fused plans execute on real chips (and are parity-tested
+    at CI scale in tests/test_halo_fused.py).
+    """
+    import time
+
+    from sgracex1_tpu.graph.normalize import rank1_factor
+    from sgracex1_tpu.parallel.comm_model import halo_comm
+    from sgracex1_tpu.parallel.halo_fused import build_halo_fused
+
+    n = 1 << n_log2
+    header(f"LARGE distributed prepare + train (n=2^{n_log2}, {ndev} dev)")
+    t0 = time.time()
+    data = powerlaw_node_classification(
+        n=n, avg_degree=d, num_features=16, seed=0
+    )
+    A = sym_norm(data.edge_index, data.num_nodes)
+    perm = degree_balanced_order(A, ndev)
+    A_s, _ = permute_graph(A, perm)
+    gen_s = time.time() - t0
+    print(f"  graph: n={n} nnz={A.nnz}  gen+balance {gen_s:.1f}s",
+          flush=True)
+
+    t0 = time.time()
+    fac = rank1_factor(A_s)
+    rank1_s = time.time() - t0
+    t0 = time.time()
+    G, n_pad = build_halo(A_s, ndev)
+    halo_s = time.time() - t0
+    t0 = time.time()
+    FP = build_halo_fused(G, tb=1024, rank1_factors=fac)
+    fused_s = time.time() - t0
+    tile_mb = FP.tiles.size * FP.tiles.dtype.itemsize / 1e6
+    prep_total = rank1_s + halo_s + fused_s
+    print(
+        f"  prepare: rank1 {rank1_s:.1f}s + build_halo {halo_s:.1f}s + "
+        f"fused plans {fused_s:.1f}s = {prep_total:.1f}s "
+        f"(tiles [{','.join(map(str, FP.tiles.shape))}] "
+        f"{FP.tiles.dtype} = {tile_mb:.0f} MB/direction)",
+        flush=True,
+    )
+    comm = halo_comm(G, 64, backward=True)
+    print(
+        f"  halo comm (2-layer fwd+bwd, F=64): "
+        f"{2 * comm.bytes_out / 1e6:.1f} MB/device/step",
+        flush=True,
+    )
+
+    # timed training step (edge path — see docstring)
+    mesh = make_mesh(ndev)
+    sh = NamedSharding(mesh, P("graph"))
+    x = jax.device_put(pad_nodes(data.x[perm], n_pad), sh)
+    y = jax.device_put(
+        pad_nodes(data.y[perm].astype(np.int32), n_pad), sh
+    )
+    m = jax.device_put(
+        pad_nodes(data.train_mask[perm].astype(np.float32), n_pad), sh
+    )
+    G_d = jax.device_put(G, sh)
+    f, h, c = data.num_features, 64, data.num_classes
+    rng = np.random.default_rng(0)
+    params = {
+        "W1": jnp.asarray(rng.standard_normal((f, h)).astype(np.float32) * 0.1),
+        "W2": jnp.asarray(rng.standard_normal((h, h)).astype(np.float32) * 0.1),
+        "Wo": jnp.asarray(rng.standard_normal((h, c)).astype(np.float32) * 0.1),
+    }
+    opt = optax.adam(0.01)
+
+    def train_step(carry, G, x, y, m):
+        params, opt_state = carry
+
+        def loss_fn(p):
+            hdn = dist_gnn_layer_halo(mesh, G, x, p["W1"], relu=True)
+            hdn = dist_gnn_layer_halo(mesh, G, hdn, p["W2"], relu=True)
+            logits = hdn @ p["Wo"]
+            ls = optax.softmax_cross_entropy_with_integer_labels(logits, y)
+            return jnp.sum(ls * m) / jnp.sum(m)
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = opt.update(grads, opt_state)
+        return (optax.apply_updates(params, updates), opt_state)
+
+    sec = timed_loop(
+        train_step, (params, opt.init(params)), consts=(G_d, x, y, m),
+        iters=4, k1=1, reps=2,
+    )
+    print(
+        f"  {ndev} dev train step (2-layer GCN fwd+bwd+Adam, edge path): "
+        f"{sec*1e3:.0f} ms/step  ({A.nnz/sec/1e6:.1f} M edges/s)",
+        flush=True,
+    )
+
+
 def main():
+    if "--large" in sys.argv:
+        args = [a for a in sys.argv[1:] if not a.startswith("--")]
+        main_large(*(int(a) for a in args[:3]))
+        return
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 65536
     d = int(sys.argv[2]) if len(sys.argv) > 2 else 16
     data = powerlaw_node_classification(n=n, avg_degree=d)

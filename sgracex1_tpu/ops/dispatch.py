@@ -126,6 +126,13 @@ _PALLAS_GROUP_S = 7e-6  # one-hot kernel, be=1024 (measured pubmed/citeseer)
 _XLA_EDGE_S = 50e-9  # gather + scatter-add per edge (measured at 2^20 rows)
 _MXU_FLOPS = 180e12  # sustained bf16 (matmul microbench ~190 TF/s peak)
 _VPU_OPS = 3.4e12  # measured elementwise f32 (benchmarks/bench_vpu_cal.py)
+# fused-remainder path (ops/fused_agg, r4): rest edges ride one-hot chunk
+# steps inside the tile kernel instead of the XLA scatter, so their cost
+# is per-CHUNK (grid step + K-slot G DMA + onehot matmul) plus a ~5 ns
+# per-slot gather — not 50 ns/edge of random HBM writes
+_REST_CHUNK_S = 0.7e-6  # K=128 chunk: step overhead + max(DMA, MXU)
+_REST_SLOT_S = 5e-9  # gather one bf16 row + write one G slot
+_REST_K = 128
 
 
 def _tile_itemsize(tb: int, rank1: bool, dense_itemsize: int) -> float:
@@ -173,23 +180,31 @@ def _estimate_backend_costs(
     best_tb, best_t = None, np.inf
     best_hy, best_hy_t = None, np.inf
     for tb in tbs:
-        _, counts = np.unique(
+        uniq, counts = np.unique(
             (r // tb).astype(np.int64) * (1 << 32) + c // tb,
             return_counts=True,
         )
         if len(counts) == 0:
+            uniq = np.zeros(1, np.int64)
             counts = np.ones(1, np.int64)
         tc = _tile_cost_s(tb, _tile_itemsize(tb, rank1, itemsize))
         t = len(counts) * tc
         if t < best_t:
             best_tb, best_t = tb, t
         # hybrid: a tile goes dense iff one tile-matmul beats its edges on
-        # the gather path; the remainder pays the per-edge cost
-        thresh = int(np.ceil(tc / _XLA_EDGE_S))
+        # the fused remainder path (r4: per-slot gather + amortized chunk
+        # steps, NOT the old 50 ns/edge XLA scatter)
+        thresh = int(np.ceil(tc / (_REST_SLOT_S + _REST_CHUNK_S / _REST_K)))
         dense_tiles = counts >= thresh
+        rest_by_rb = np.bincount(
+            (uniq >> 32)[~dense_tiles].astype(np.int64),
+            weights=counts[~dense_tiles].astype(np.float64),
+        )
+        n_chunks = int(np.ceil(rest_by_rb / _REST_K).sum())
         t_hy = (
             int(dense_tiles.sum()) * tc
-            + int(counts[~dense_tiles].sum()) * _XLA_EDGE_S
+            + n_chunks * _REST_CHUNK_S
+            + int(counts[~dense_tiles].sum()) * _REST_SLOT_S
             + _STEP_S
         )
         if t_hy < best_hy_t:
@@ -252,6 +267,7 @@ def prepare_adjacency(
     tb: int | None = None,
     for_gat: bool = False,
     rank1: bool = True,
+    rank1_factors=None,
     build_transpose: bool = True,
 ) -> PreparedAdjacency:
     """Choose and precompute the aggregation backend for a graph.
@@ -284,10 +300,20 @@ def prepare_adjacency(
     enable_persistent_cache()  # device builds/kernels compile once per machine
     n = max(A.n_rows, A.n_cols)
     fac = None
-    if rank1 and method in ("auto", "hybrid", "bsr"):
-        from sgracex1_tpu.graph.normalize import rank1_factor
+    if method in ("auto", "hybrid", "bsr"):
+        if rank1_factors is not None:
+            # caller-supplied (s_row, s_col) — e.g. the distributed builder
+            # slicing a verified GLOBAL factorization per shard; skips
+            # detection (the caller vouches for v(r,c) = s_row[r]*s_col[c]
+            # on every positive edge)
+            fac = (
+                np.asarray(rank1_factors[0], np.float32),
+                np.asarray(rank1_factors[1], np.float32),
+            )
+        elif rank1:
+            from sgracex1_tpu.graph.normalize import rank1_factor
 
-        fac = rank1_factor(A)
+            fac = rank1_factor(A)
     hybrid_split = None
     if method in ("auto", "hybrid"):
         costs, best_tb, best_hy = _estimate_backend_costs(
@@ -409,7 +435,7 @@ def prepare_adjacency(
                             jnp.dtype(dense_dtype).itemsize,
                         ),
                     )
-                    / _XLA_EDGE_S
+                    / (_REST_SLOT_S + _REST_CHUNK_S / _REST_K)
                 )
             ),
         )

@@ -192,6 +192,176 @@ def _flash_gat_kernel_stats(
     )
 
 
+def _flash_gat_kernel_subskip(
+    tile_rb, tile_cb, pop, a_ref, s1_ref, s2_ref, wh_ref, out_ref,
+    m_ref, l_ref, acc_ref, *, alpha: float, sb: int,
+):
+    """Occupancy experiment (r3 verdict #4): the flash kernel's VPU work
+    runs on every tile element, but only ~56% of pubmed's 128x128
+    sub-blocks hold any edge — this variant predicates the score math
+    per (sb x sb) sub-block on a prefetched population bitmap, paying one
+    scalar branch per sub-block instead of the dead-lane elementwise ops
+    and exps. See flash_gat_forward_subskip for the measured outcome."""
+    g = pl.program_id(1)
+    ng = pl.num_programs(1)
+    first = jnp.logical_or(g == 0, tile_rb[g] != tile_rb[jnp.maximum(g - 1, 0)])
+    last = jnp.logical_or(
+        g == ng - 1, tile_rb[jnp.minimum(g + 1, ng - 1)] != tile_rb[g]
+    )
+
+    @pl.when(first)
+    def _():
+        m_ref[:] = jnp.full_like(m_ref, _M_INIT)
+        l_ref[:] = jnp.zeros_like(l_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    tb = s1_ref.shape[1]
+    ns = tb // sb
+    for i in range(ns):
+        ri = slice(i * sb, (i + 1) * sb)
+        for j in range(ns):
+            b = i * ns + j
+            bit = (pop[g, b // 32] >> (b % 32)) & 1
+
+            @pl.when(bit != 0)
+            def _(i=i, j=j, ri=ri):
+                cj = slice(j * sb, (j + 1) * sb)
+                a = a_ref[0, ri, cj]
+                if a_ref.shape[-1] == tb:  # int8 {0,1} or value tiles
+                    if a_ref.dtype == jnp.int8:
+                        m01 = a.astype(jnp.float32)
+                    else:
+                        m01 = (a.astype(jnp.float32) > 0).astype(
+                            jnp.float32
+                        )
+                else:
+                    raise NotImplementedError(
+                        "subskip consumes unpacked tiles only"
+                    )
+                e = s1_ref[0, ri] + s2_ref[0, cj].reshape(1, -1)
+                e = jnp.maximum(e, alpha * e)
+                e = e + (m01 * _MASK_BIG - _MASK_BIG)
+                m_old = m_ref[ri]
+                m_new = jnp.maximum(
+                    m_old, jnp.max(e, axis=1, keepdims=True)
+                )
+                p = jnp.exp(e - m_new)
+                corr = jnp.exp(m_old - m_new)
+                l_ref[ri] = l_ref[ri] * corr + jnp.sum(
+                    p, axis=1, keepdims=True
+                )
+                acc_ref[ri] = acc_ref[ri] * corr + jnp.dot(
+                    p.astype(jnp.bfloat16),
+                    wh_ref[0, cj].astype(jnp.bfloat16),
+                    preferred_element_type=jnp.float32,
+                )
+                m_ref[ri] = m_new
+
+    @pl.when(last)
+    def _():
+        out_ref[0] = acc_ref[:] / jnp.maximum(l_ref[:], 1e-30)
+
+
+def subblock_pop_bitmap(B: BSRMatrix, A, sb: int) -> "np.ndarray":
+    """int32 [T, ceil((tb/sb)^2 / 32)] per-tile sub-block population bits
+    for the subskip kernel, from the host edge list."""
+    import numpy as np
+
+    tb = B.tb
+    ns = tb // sb
+    r = np.asarray(A.rows[: A.nnz]).astype(np.int64)
+    c = np.asarray(A.cols[: A.nnz]).astype(np.int64)
+    v = np.asarray(A.vals[: A.nnz])
+    r, c = r[v > 0], c[v > 0]
+    tile_rb = np.asarray(B.tile_rb).astype(np.int64)
+    tile_cb = np.asarray(B.tile_cb).astype(np.int64)
+    key_of_tile = tile_rb << 32 | tile_cb
+    ekey = (r // tb) << 32 | (c // tb)
+    t_of_e = np.searchsorted(key_of_tile, ekey)
+    sub = ((r // sb) % ns) * ns + (c // sb) % ns
+    nw = -(-(ns * ns) // 32)
+    pop = np.zeros((B.num_tiles, nw), np.int32)
+    np.bitwise_or.at(
+        pop, (t_of_e, sub // 32), (1 << (sub % 32)).astype(np.int32)
+    )
+    return pop
+
+
+def flash_gat_forward_subskip(
+    B: BSRMatrix,
+    pop,
+    s1: jax.Array,
+    s2: jax.Array,
+    Wh: jax.Array,
+    *,
+    alpha: float = 0.2,
+    sb: int = 128,
+    interpret: bool | None = None,
+):
+    """flash_gat_forward with per-sub-block occupancy skipping (single
+    head, int8/value tiles). EXPERIMENTAL — kept with its measured
+    verdict either way (the rowloop/exp2/fast_exp precedent)."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    s1, s2, Wh, squeeze = _norm_heads(s1, s2, Wh)
+    H = s1.shape[1]
+    assert H == 1, "subskip experiment is single-head"
+    tb = B.tb
+    n_rt = B.n_row_tiles
+    n_ct = _round_up(B.n_cols, tb) // tb
+    F = Wh.shape[-1]
+    if Wh.shape[0] != n_ct * tb:
+        Wh = jnp.pad(Wh, ((0, n_ct * tb - Wh.shape[0]), (0, 0), (0, 0)))
+    if s1.shape[0] != n_rt * tb:
+        s1 = jnp.pad(s1, ((0, n_rt * tb - s1.shape[0]), (0, 0)))
+    if s2.shape[0] != n_ct * tb:
+        s2 = jnp.pad(s2, ((0, n_ct * tb - s2.shape[0]), (0, 0)))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(H, B.num_tiles),
+        in_specs=[
+            pl.BlockSpec(
+                (1, tb, B.tiles.shape[-1]),
+                lambda h, g, rbs, cbs, pop: (g, 0, 0),
+            ),
+            pl.BlockSpec(
+                (1, tb, 1), lambda h, g, rbs, cbs, pop: (h, rbs[g], 0)
+            ),
+            pl.BlockSpec(
+                (1, tb, 1), lambda h, g, rbs, cbs, pop: (h, cbs[g], 0)
+            ),
+            pl.BlockSpec(
+                (1, tb, F), lambda h, g, rbs, cbs, pop: (h, cbs[g], 0)
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, tb, F), lambda h, g, rbs, cbs, pop: (h, rbs[g], 0)
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((tb, 1), jnp.float32),
+            pltpu.VMEM((tb, 1), jnp.float32),
+            pltpu.VMEM((tb, F), jnp.float32),
+        ],
+    )
+    res = pl.pallas_call(
+        partial(_flash_gat_kernel_subskip, alpha=alpha, sb=sb),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((H, n_rt * tb, F), jnp.float32),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * H * B.num_tiles * tb * tb * (F + 4),
+            bytes_accessed=H * B.num_tiles * (tb * tb * 2 + tb * F * 2),
+            transcendentals=H * B.num_tiles * tb * tb,
+        ),
+    )(
+        B.tile_rb, B.tile_cb, jnp.asarray(pop),
+        B.tiles, _hmaj(s1), _hmaj(s2), _hmaj(Wh),
+    )
+    o = jnp.transpose(res, (1, 0, 2))[: B.n_rows]
+    return o[:, 0, :] if squeeze else o
+
+
 def flash_gat_forward(
     B: BSRMatrix,
     s1: jax.Array,

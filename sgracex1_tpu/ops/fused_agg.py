@@ -101,6 +101,7 @@ def build_fused_plan(
     r1_col: Optional[np.ndarray] = None,
     K: Optional[int] = None,
     tile_keys: Optional[np.ndarray] = None,
+    device: bool = True,
 ) -> FusedAggPlan:
     """Host-side schedule build (numpy; ~ms at 50k rest edges).
 
@@ -114,7 +115,11 @@ def build_fused_plan(
     ``tile_keys`` (ops/bsr.bsr_tile_keys of the SAME source matrix and
     cover flags) supplies the tile layout host-side; without it the
     device tile_rb/tile_cb are pulled back — ~14 s each through the TPU
-    relay at the 1M-node scale."""
+    relay at the 1M-node scale.
+
+    ``device=False`` keeps every schedule array as host numpy (the
+    distributed builder stacks per-shard plans before one sharded
+    device_put)."""
     if tile_keys is not None:
         tile_rb = (tile_keys >> 32).astype(np.int64)
         tile_cb = (tile_keys & 0xFFFFFFFF).astype(np.int64)
@@ -225,25 +230,25 @@ def build_fused_plan(
     assert pos == S, (pos, S)
     s_rb[S] = n_rt  # sentinel: final step is always 'last'
 
-    dev = jax.device_put
+    dev = (lambda x: jax.device_put(x)) if device else np.asarray
     colscale = rowscale = None
     if rank1:
         cs = np.zeros(n_ct * tb, np.float32)
         cs[: len(r1_col)] = r1_col
         rs = np.zeros(n_rt * tb, np.float32)
         rs[: len(r1_row)] = r1_row
-        colscale = dev(jnp.asarray(cs.reshape(n_ct, tb, 1)))
-        rowscale = dev(jnp.asarray(rs.reshape(n_rt, tb, 1)))
+        colscale = dev(cs.reshape(n_ct, tb, 1))
+        rowscale = dev(rs.reshape(n_rt, tb, 1))
     return FusedAggPlan(
         B=B,
-        step_rb=dev(jnp.asarray(s_rb)),
-        step_cb=dev(jnp.asarray(s_cb)),
-        step_tile=dev(jnp.asarray(s_tile)),
-        step_chunk=dev(jnp.asarray(s_chunk)),
-        step_kind=dev(jnp.asarray(s_kind)),
-        lrow=dev(jnp.asarray(lrow)),
-        slot_col=dev(jnp.asarray(slot_col.astype(np.int32))),
-        slot_scale=dev(jnp.asarray(slot_scale)),
+        step_rb=dev(s_rb),
+        step_cb=dev(s_cb),
+        step_tile=dev(s_tile),
+        step_chunk=dev(s_chunk),
+        step_kind=dev(s_kind),
+        lrow=dev(lrow),
+        slot_col=dev(slot_col.astype(np.int32)),
+        slot_scale=dev(slot_scale),
         colscale=colscale,
         rowscale=rowscale,
         K=K,

@@ -170,13 +170,21 @@ def dense_adjacency_int8(A_dense: np.ndarray, c_a: QuantConstants) -> jax.Array:
     return jnp.asarray((aq - _SHIFT).astype(np.int8))
 
 
-def bsr_int8_from_sparse(A, c_a: QuantConstants, *, tb: int = 512):
+def bsr_int8_from_sparse(
+    A, c_a: QuantConstants, *, tb: int = 512,
+    cover_cols: bool = False, device_build: bool | None = None,
+):
     """Quantize a SPARSE adjacency onto the unsigned grid and densify the
     nonempty tiles as shifted int8 — the sparse-scale replacement for
     ``dense_adjacency_int8``'s N x N matrix (which caps full-integer GCN at
     ~16k nodes). Absent tile positions quantize to 0 on the unsigned grid,
     i.e. -128 shifted, which is exactly what (tiles_f32 - 128) yields for
     the build's zero-initialized slots. Consumed by ops.bsr.bsr_spmm_int8.
+
+    ``cover_cols``/``device_build`` pass through to bsr_from_sparse for
+    large tile sets (the on-device build casts each batch to int8
+    immediately, so the f32 scratch never holds the whole tile set —
+    required at the 1M-node scale where the f32 form is ~10 GB).
     """
     from sgracex1_tpu.graph.csr import SparseMatrix
     from sgracex1_tpu.ops.bsr import bsr_from_sparse
@@ -188,10 +196,19 @@ def bsr_int8_from_sparse(A, c_a: QuantConstants, *, tb: int = 512):
         np.float32
     )
     B = bsr_from_sparse(
-        A.with_vals(aq), tb=tb, dtype=jnp.float32, cover_rows=True
+        A.with_vals(aq), tb=tb, dtype=jnp.float32, cover_rows=True,
+        cover_cols=cover_cols, device_build=device_build,
+        batch_postprocess=_shift_int8_batch,
     )
-    tiles = jax.jit(lambda t: (t - 128.0).astype(jnp.int8))(B.tiles)
-    return _dc.replace(B, tiles=tiles)
+    if B.tiles.dtype != jnp.int8:  # host build path: tiles still f32
+        tiles = jax.jit(lambda t: (t - 128.0).astype(jnp.int8))(B.tiles)
+        B = _dc.replace(B, tiles=tiles)
+    return B
+
+
+@jax.jit
+def _shift_int8_batch(t: jax.Array) -> jax.Array:
+    return (t - 128.0).astype(jnp.int8)
 
 
 def int8_gcn_layer_sparse(

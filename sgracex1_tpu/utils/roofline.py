@@ -136,11 +136,12 @@ def cost_dense(n_pad: int, P: int, a_itemsize: int = 2) -> CostModel:
     )
 
 
-def cost_bsr(B, P: int) -> CostModel:
+def cost_bsr(B, P: int, out_itemsize: int = 4) -> CostModel:
     """BSR tile kernel (ops/bsr.py): per nonempty tile, one tb x tb x P
     matmul; tile + H block read, output written once per row block
     (accumulator revisits stay in VMEM). 1-bit packed tiles additionally
-    pay ~4 VPU ops/element to unpack (shift+and per plane + concat+cast)."""
+    pay ~4 VPU ops/element to unpack (shift+and per plane + concat+cast).
+    ``out_itemsize`` is 2 for the fused kernel's bf16 output blocks."""
     tb = B.tb
     T = B.num_tiles
     packed = B.tiles.shape[-1] != tb
@@ -150,7 +151,8 @@ def cost_bsr(B, P: int) -> CostModel:
     return CostModel(
         flops=2.0 * T * tb * tb * P,
         hbm_bytes=float(
-            T * (tb * tb * itemsize + tb * P * 2) + B.n_row_tiles * tb * P * 4
+            T * (tb * tb * itemsize + tb * P * 2)
+            + B.n_row_tiles * tb * P * out_itemsize
         ),
         note="bsr",
         vpu_ops=4.0 * T * tb * tb if packed else 0.0,
@@ -264,13 +266,53 @@ def cost_rank1_scaling(n_rows: int, n_cols: int, P: int) -> CostModel:
     )
 
 
-def cost_for_prep(prep, P: int) -> CostModel:
-    """Cost model for ``agg_matmul(prep, H)`` with feature width P."""
+def cost_fused(prep, P: int, h_itemsize: int = 2) -> CostModel:
+    """Fused tile+remainder+scaling kernel (ops/fused_agg): the tile cost
+    with a bf16 output, plus per-chunk one-hot MXU matmuls and G-chunk
+    DMA for the remainder, the slot gather, and the in-kernel scaling
+    VPU work. ``h_itemsize`` 4 adds the f32 -> bf16 feature cast pass the
+    kernel input needs when features arrive in f32."""
+    f = prep.fused
+    B = f.B
+    tb, K, R = B.tb, f.K, f.num_chunks
+    slots = R * K
+    c = cost_bsr(B, P, out_itemsize=2)
+    cast = float(B.n_cols * P * (h_itemsize + 2)) if h_itemsize != 2 else 0.0
+    has_rest = prep.rest is not None and prep.rest.nnz
+    rest = CostModel(
+        # one-hot matmul per chunk + the iota/compare build
+        flops=2.0 * R * tb * K * P if has_rest else 0.0,
+        # G chunk + lrow reads in-kernel; gather reads one feature row and
+        # writes one G row per slot
+        hbm_bytes=float(
+            R * (K * P * 2 + 8 * K * 4) + slots * (2 * P * 2 + 8)
+        )
+        if has_rest
+        else 0.0,
+        vpu_ops=2.0 * R * tb * K if has_rest else 0.0,
+        note="fused-rest",
+    )
+    scale_vpu = (
+        float(B.num_tiles * tb * P + B.n_row_tiles * tb * P)
+        if f.colscale is not None
+        else 0.0
+    )
+    extra = CostModel(
+        flops=0.0, hbm_bytes=cast, vpu_ops=scale_vpu, note="fused-extra"
+    )
+    return dataclasses.replace(c + rest + extra, note=f"fused-{prep.kind}")
+
+
+def cost_for_prep(prep, P: int, h_itemsize: int = 4) -> CostModel:
+    """Cost model for ``agg_matmul(prep, H)`` with feature width P.
+    ``h_itemsize`` is the feature dtype width (2 for bf16 features)."""
     if prep.kind == "dense":
         return cost_dense(prep.dense.shape[0], P, prep.dense.dtype.itemsize)
     if prep.kind == "pallas":
         return cost_pallas_onehot(prep.plan, P)
     if prep.kind in ("bsr", "hybrid"):
+        if getattr(prep, "fused", None) is not None:
+            return cost_fused(prep, P, h_itemsize)
         c = cost_bsr(prep.bsr, P)
         if prep.r1_row is not None:
             c = c + cost_rank1_scaling(prep.A.n_rows, prep.A.n_cols, P)

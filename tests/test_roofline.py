@@ -63,7 +63,9 @@ def test_hybrid_cost_is_sum_of_parts():
     A = _adj(n=1200, density=0.01)
     prep = prepare_adjacency(A, method="hybrid", dense_max_bytes=0)
     c = cost_for_prep(prep, 16)
-    assert c.note == "hybrid"
+    # hybrid preps now carry the fused one-pass schedule (r4), which the
+    # cost model attributes as fused-hybrid
+    assert c.note == "fused-hybrid"
     parts = cost_for_prep(
         prepare_adjacency(A, method="bsr"), 16
     )  # upper bound: full-bsr tiles >= hybrid's dense-tile subset
