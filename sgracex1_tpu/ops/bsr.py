@@ -365,6 +365,9 @@ def bsr_bitmask_from_sparse(
         batch_postprocess=_pack_mask_batch,
     )
     if B.tiles.shape[-1] == tb:  # host-build path: tiles still unpacked
+        # (an np.packbits host pack was tried here and measured 2.2x
+        # SLOWER than the jit shift pack — the bool cast + per-batch
+        # asarray copies dominate; XLA's vectorized shifts win)
         return pack_mask_bsr(B)
     return B
 

@@ -179,16 +179,22 @@ def _stack_plans(plans, tb: int, K: int):
     tile_dtype = plans[0].B.tiles.dtype
 
     out = {k: [] for k in (
-        "tiles", "step_rb", "step_cb", "step_tile", "step_chunk",
+        "step_rb", "step_cb", "step_tile", "step_chunk",
         "step_kind", "lrow", "slot_col", "slot_scale", "colscale",
         "rowscale",
     )}
     with_scales = plans[0].colscale is not None
+    # tiles: preallocate the stacked array once and fill per shard —
+    # np.stack of a list of multi-GB padded copies doubled the build time
+    n_sh = len(plans)
+    tiles_stacked = np.zeros(
+        (n_sh, T_stack, tb, inner), np.asarray(plans[0].B.tiles).dtype
+    )
+    for si, p in enumerate(plans):
+        T = p.B.tiles.shape[0]
+        tiles_stacked[si, :T] = np.asarray(p.B.tiles)
     for p in plans:
         T = p.B.tiles.shape[0]
-        tiles = np.zeros((T_stack, tb, inner), np.asarray(p.B.tiles).dtype)
-        tiles[:T] = np.asarray(p.B.tiles)
-        out["tiles"].append(tiles)
         S = p.num_steps
         pad = S_steps - S
         rb = np.concatenate([
@@ -223,6 +229,7 @@ def _stack_plans(plans, tb: int, K: int):
             out["colscale"].append(np.asarray(p.colscale))
             out["rowscale"].append(np.asarray(p.rowscale))
     stacked = {k: np.stack(v) for k, v in out.items() if v}
+    stacked["tiles"] = tiles_stacked
     if not with_scales:
         stacked["colscale"] = None
         stacked["rowscale"] = None
