@@ -336,14 +336,25 @@ def prepare_adjacency(
 
     def _finish(prep: PreparedAdjacency) -> PreparedAdjacency:
         if for_gat and prep.flash_tiles is None:
-            from sgracex1_tpu.ops.bsr import bsr_mask_from_sparse
+            from sgracex1_tpu.ops.bsr import (
+                bsr_bitmask_from_sparse,
+                bsr_mask_from_sparse,
+            )
 
             # measured flash sweet spots (r3 sweep: pubmed tb=1024 0.72 ms
-            # vs 512's 1.02 — fewer grid steps win on the VPU-bound kernel)
+            # vs 512's 1.02 — fewer grid steps win on the VPU-bound
+            # kernel). Beyond ~64k nodes the int8 FULL-adjacency mask set
+            # is multi-GB (every nonempty tile, not just the dense ones),
+            # so large graphs take the 1-bit packed form — ~7% slower per
+            # tile on the VPU-bound flash kernel (pubmed 0.773 vs
+            # 0.721 ms) for 8x the capacity.
             gat_tb = 256 if n <= 8192 else 1024
+            if gat_tb == 1024 and n > 65536:
+                tiles = bsr_bitmask_from_sparse(A, tb=gat_tb)
+            else:
+                tiles = bsr_mask_from_sparse(A, tb=gat_tb)
             return dataclasses.replace(
-                prep,
-                gat_bsr=jax.device_put(bsr_mask_from_sparse(A, tb=gat_tb)),
+                prep, gat_bsr=jax.device_put(tiles)
             )
         return prep
 

@@ -74,6 +74,15 @@ _NEG_INF = -9e15  # reference mask value (sgrace.py:638)
 #   - LeakyReLU is ``max(e, alpha*e)`` (mul+max), not compare+select.
 #   - the {0,1} mask applies additively — ``(e - BIG) + m01*BIG`` — two
 #     arithmetic ops instead of compare+select.
+
+# v5e has 128 MB of VMEM; Mosaic's default 16 MB scoped limit OOMs the
+# tb=1024 BACKWARD passes at F=64 (measured: "scoped allocation 18.26M
+# exceeded" in a GATModel train step at n=32k — the two [tb, tb] f32
+# probability/cotangent intermediates per pass plus double-buffered
+# blocks). Raise the per-kernel budget; 100 MB leaves room for Mosaic's
+# own scratch.
+_VMEM_LIMIT = 100 * 1024 * 1024
+
 _MASKED = -1e9
 _M_INIT = -1e5
 _MASK_BIG = 1e9
@@ -196,12 +205,20 @@ def _flash_gat_kernel_subskip(
     tile_rb, tile_cb, pop, a_ref, s1_ref, s2_ref, wh_ref, out_ref,
     m_ref, l_ref, acc_ref, *, alpha: float, sb: int,
 ):
-    """Occupancy experiment (r3 verdict #4): the flash kernel's VPU work
-    runs on every tile element, but only ~56% of pubmed's 128x128
-    sub-blocks hold any edge — this variant predicates the score math
-    per (sb x sb) sub-block on a prefetched population bitmap, paying one
+    """Occupancy experiment (r3 verdict #4): predicate the score math per
+    (sb x sb) sub-block on a prefetched population bitmap, paying one
     scalar branch per sub-block instead of the dead-lane elementwise ops
-    and exps. See flash_gat_forward_subskip for the measured outcome."""
+    and exps.
+
+    MEASURED NEGATIVE (pubmed RCM tb=1024 int8, 2026-08-20,
+    benchmarks/diag_flash_subskip.py): sb=128 2.98 ms at 33% occupancy
+    and sb=256 1.41 ms at 79%, vs 0.72 ms for the plain kernel — 2-4x
+    SLOWER despite skipping most of the work. A [128, 128] VPU op runs
+    16 vregs where the full-tile op runs 1024, so the per-op issue
+    overhead (and 64 scf.if branches per grid step) dwarfs the dead-lane
+    savings — the same lesson as the r3 manual-DMA rowloop: on this chip
+    Mosaic's full-tile pipeline beats fine-grained manual scheduling.
+    Kept, like bsr_spmm_rowloop, as the recorded counterexample."""
     g = pl.program_id(1)
     ng = pl.num_programs(1)
     first = jnp.logical_or(g == 0, tile_rb[g] != tile_rb[jnp.maximum(g - 1, 0)])
@@ -349,6 +366,9 @@ def flash_gat_forward_subskip(
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((H, n_rt * tb, F), jnp.float32),
         interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT
+        ),
         cost_estimate=pl.CostEstimate(
             flops=2 * H * B.num_tiles * tb * tb * (F + 4),
             bytes_accessed=H * B.num_tiles * (tb * tb * 2 + tb * F * 2),
@@ -442,6 +462,9 @@ def flash_gat_forward(
         if return_stats
         else out_shape,
         interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT
+        ),
         cost_estimate=pl.CostEstimate(
             flops=2 * H * B.num_tiles * tb * tb * (F + 4),
             bytes_accessed=H * B.num_tiles * (tb * tb * 2 + tb * F * 2),
@@ -675,6 +698,9 @@ def _bwd_row_pass(B, s1, s2, m, l, Wh, g_out, *, alpha, interpret,
         grid_spec=row_grid,
         out_shape=[stat_shape, stat_shape, stat_shape],
         interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT
+        ),
         cost_estimate=pl.CostEstimate(
             flops=2 * H * B.num_tiles * tb * tb * (F + 4),
             bytes_accessed=H * B.num_tiles * (tb * tb + 2 * tb * F * 4),
@@ -742,6 +768,9 @@ def _bwd_col_pass(B, s1, s2, m, l, t, Wh, g_out, *, alpha, interpret,
             jax.ShapeDtypeStruct((H, n_ct * tb, 1), jnp.float32),
         ],
         interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT
+        ),
         cost_estimate=pl.CostEstimate(
             flops=4 * H * B.num_tiles * tb * tb * (F + 2),
             bytes_accessed=H * B.num_tiles * (tb * tb + 3 * tb * F * 4),
