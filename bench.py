@@ -85,8 +85,12 @@ class TwoPoint:
         self._f1, self._f2 = make(k1), make(k2)
 
         def _sum(x):  # sync any pytree carry by pulling one scalar
+            # dtype-arg reduce, NOT astype: an eager astype materializes a
+            # full f32 copy of the carry (4 GiB at the 2^23 sweep size)
             leaves = jax.tree_util.tree_leaves(x)
-            return float(sum(jnp.sum(l.astype(jnp.float32)) for l in leaves))
+            return float(
+                sum(jnp.sum(l, dtype=jnp.float32) for l in leaves)
+            )
 
         self._sum = _sum
         # compile + warm both programs

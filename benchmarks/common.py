@@ -13,10 +13,15 @@ import numpy as np
 def sync(x) -> float:
     """Force device completion by pulling a scalar (block_until_ready does
     not fully sync through the TPU relay — see utils/profiling.py).
-    Accepts any pytree (e.g. a (params, opt_state) carry)."""
+    Accepts any pytree (e.g. a (params, opt_state) carry).
+
+    The reduction accumulates in f32 WITHOUT an explicit astype: an eager
+    ``l.astype(f32)`` materializes a full-size f32 copy of the carry —
+    4 GiB for a [2^23, 128] bf16 carry, which alone OOMed the 2^23
+    single-chip sweep."""
     leaves = jax.tree_util.tree_leaves(x)
-    total = sum(jnp.sum(l.astype(jnp.float32)) for l in leaves)
-    return float(total)
+    total = sum(float(jnp.sum(l, dtype=jnp.float32)) for l in leaves)
+    return total
 
 
 def timed_loop(

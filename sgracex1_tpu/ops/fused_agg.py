@@ -76,6 +76,13 @@ class FusedAggPlan:
     colscale: Optional[jax.Array]  # f32[n_ct, tb, 1]
     rowscale: Optional[jax.Array]  # f32[n_rt, tb, 1]
     K: int = dataclasses.field(metadata=dict(static=True))
+    # static (step_lo, step_hi, rb_lo, rb_hi) call slices: schedules past
+    # _MAX_STEPS are split at row-block-run boundaries into multiple
+    # pallas calls — the per-call scalar-prefetch arrays live in SMEM,
+    # and one 25k-step schedule (2^23 nodes) exhausts it
+    slices: tuple = dataclasses.field(
+        default=((0, -1, 0, -1),), metadata=dict(static=True)
+    )
 
     @property
     def num_steps(self) -> int:
@@ -84,6 +91,12 @@ class FusedAggPlan:
     @property
     def num_chunks(self) -> int:
         return self.lrow.shape[0]
+
+
+# max grid steps per pallas call; 5 int32 scalar-prefetch arrays at this
+# length use ~160 KB of SMEM (the 2^22 schedule ran fine at 10.7k steps /
+# ~214 KB; the 2^23 one failed at 25k / ~503 KB)
+_MAX_STEPS = 8192
 
 
 def _chunk_cost_s(K: int, P: int = 128) -> float:
@@ -230,6 +243,25 @@ def build_fused_plan(
     assert pos == S, (pos, S)
     s_rb[S] = n_rt  # sentinel: final step is always 'last'
 
+    # static call slices at row-block-run boundaries (SMEM cap; see
+    # _MAX_STEPS). Every slice covers whole output blocks.
+    slices = []
+    run_starts = np.flatnonzero(np.r_[True, s_rb[1:S] != s_rb[: S - 1]])
+    lo = 0
+    while lo < S:
+        if S - lo <= _MAX_STEPS:
+            hi = S
+        else:
+            k = np.searchsorted(run_starts, lo + _MAX_STEPS, side="right") - 1
+            hi = int(run_starts[k])
+            if hi <= lo:  # one run longer than the cap: keep it whole
+                k2 = np.searchsorted(run_starts, lo, side="right")
+                hi = int(run_starts[k2]) if k2 < len(run_starts) else S
+        rb_lo = int(s_rb[lo])
+        rb_hi = int(s_rb[hi]) if hi < S else n_rt
+        slices.append((lo, hi, rb_lo, rb_hi))
+        lo = hi
+
     dev = (lambda x: jax.device_put(x)) if device else np.asarray
     colscale = rowscale = None
     if rank1:
@@ -252,6 +284,7 @@ def build_fused_plan(
         colscale=colscale,
         rowscale=rowscale,
         K=K,
+        slices=tuple(slices),
     )
 
 
@@ -362,33 +395,60 @@ def bsr_spmm_fused(
         ]
         operands += [plan.colscale, plan.rowscale]
 
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=5,
-        grid=(plan.num_steps,),
-        in_specs=in_specs,
-        out_specs=pl.BlockSpec(
-            (tb, P), lambda g, rb, cb, ti, ch, kd: (rb[g], 0)
-        ),
-        scratch_shapes=[pltpu.VMEM((tb, P), jnp.float32)],
-    )
-    out = pl.pallas_call(
-        _functools.partial(
-            _fused_kernel, tb=tb, K=K, with_scales=with_scales
-        ),
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((n_rt * tb, P), jnp.bfloat16),
-        interpret=interpret,
-        cost_estimate=pl.CostEstimate(
-            flops=2 * B.num_tiles * tb * tb * P
-            + 2 * plan.num_chunks * tb * K * P,
-            bytes_accessed=B.num_tiles
-            * (tb * inner * B.tiles.dtype.itemsize + tb * P * 2)
-            + plan.num_chunks * K * P * 2
-            + n_rt * tb * P * 2,
-            transcendentals=0,
-        ),
-    )(
-        plan.step_rb, plan.step_cb, plan.step_tile, plan.step_chunk,
-        plan.step_kind, *operands,
-    )
+    S = plan.num_steps
+    slices = plan.slices
+    if len(slices) == 1 and slices[0][1] in (-1, S):
+        slices = ((0, S, 0, n_rt),)
+
+    def _call(lo: int, hi: int, rb_lo: int, rb_hi: int) -> jax.Array:
+        n_steps = hi - lo
+        frac = n_steps / S
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=5,
+            grid=(n_steps,),
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec(
+                (tb, P), lambda g, rb, cb, ti, ch, kd: (rb[g] - rb_lo, 0)
+            ),
+            scratch_shapes=[pltpu.VMEM((tb, P), jnp.float32)],
+        )
+        return pl.pallas_call(
+            _functools.partial(
+                _fused_kernel, tb=tb, K=K, with_scales=with_scales
+            ),
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct(
+                ((rb_hi - rb_lo) * tb, P), jnp.bfloat16
+            ),
+            interpret=interpret,
+            cost_estimate=pl.CostEstimate(
+                flops=int(
+                    frac
+                    * (
+                        2 * B.num_tiles * tb * tb * P
+                        + 2 * plan.num_chunks * tb * K * P
+                    )
+                ),
+                bytes_accessed=int(
+                    frac
+                    * (
+                        B.num_tiles
+                        * (tb * inner * B.tiles.dtype.itemsize + tb * P * 2)
+                        + plan.num_chunks * K * P * 2
+                    )
+                    + (rb_hi - rb_lo) * tb * P * 2
+                ),
+                transcendentals=0,
+            ),
+        )(
+            plan.step_rb[lo : hi + 1],
+            plan.step_cb[lo:hi],
+            plan.step_tile[lo:hi],
+            plan.step_chunk[lo:hi],
+            plan.step_kind[lo:hi],
+            *operands,
+        )
+
+    parts = [_call(*sl) for sl in slices]
+    out = parts[0] if len(parts) == 1 else jnp.concatenate(parts)
     return out[: B.n_rows]

@@ -109,3 +109,34 @@ def test_fused_schedule_invariants(rng):
     # slot accounting: every real rest edge occupies exactly one slot
     lrow = np.asarray(f.lrow)[:, 0, :]
     assert (lrow < f.B.tb).sum() == prep.rest.nnz
+
+
+def test_sliced_schedule_parity(rng, monkeypatch):
+    """Schedules past _MAX_STEPS split into multiple pallas calls at
+    row-block boundaries (SMEM cap for the scalar-prefetch arrays at the
+    2^23 scale). Force a tiny cap and check forward + backward parity
+    and the slice invariants."""
+    from sgracex1_tpu.ops import fused_agg as fa
+
+    monkeypatch.setattr(fa, "_MAX_STEPS", 6)
+    A, mat = _skewed_rank1_graph(rng, n=4096, tb=128)
+    prep = prepare_adjacency(A, method="hybrid", tb=128)
+    f = prep.fused
+    assert len(f.slices) > 1
+    S = f.num_steps
+    rb = np.asarray(f.step_rb)
+    lo_prev = 0
+    for (lo, hi, rb_lo, rb_hi) in f.slices:
+        assert lo == lo_prev and hi > lo
+        assert rb[lo] == rb_lo
+        if hi < S:
+            assert rb[hi] == rb_hi  # cut at a run boundary
+            assert rb[hi] != rb[hi - 1]
+        lo_prev = hi
+    assert lo_prev == S
+    H = jnp.asarray(rng.standard_normal((A.n_cols, 64)).astype(np.float32))
+    out = np.asarray(jax.jit(agg_matmul)(prep, H))
+    np.testing.assert_allclose(out, mat @ np.asarray(H), rtol=5e-2, atol=5e-2)
+    v = rng.standard_normal((A.n_rows, 64)).astype(np.float32)
+    g = jax.grad(lambda h: jnp.vdot(agg_matmul(prep, h), v))(H)
+    np.testing.assert_allclose(np.asarray(g), mat.T @ v, rtol=5e-2, atol=5e-2)
