@@ -14,6 +14,12 @@ import time
 import numpy as np
 
 
+def _t(fn) -> float:
+    t0 = time.time()
+    fn()
+    return time.time() - t0
+
+
 def run(n_log2: int, avg_degree: int = 16):
     import jax
     import jax.numpy as jnp
@@ -74,8 +80,23 @@ def run(n_log2: int, avg_degree: int = 16):
         return agg_matmul(p, h)
 
     k2 = max(4, min(24, int(2e9 / max(A.nnz, 1))))
-    sec = timed_loop(step, H, consts=(prep,), iters=k2, k1=max(2, k2 // 6),
-                     reps=5)
+    try:
+        sec = timed_loop(step, H, consts=(prep,), iters=k2,
+                         k1=max(2, k2 // 6), reps=5)
+    except Exception as e:  # noqa: BLE001 — fori carry OOM at 2^23
+        # the two-point fori harness holds an extra carry + slice
+        # buffers; fall back to median single calls minus the measured
+        # relay round trip (conservative: includes per-call transfers)
+        print(f"  fori harness failed ({type(e).__name__}); "
+              "single-call fallback", flush=True)
+        f1 = jax.jit(
+            lambda p, h: jnp.sum(agg_matmul(p, h), dtype=jnp.float32)
+        )
+        triv = jax.jit(lambda h: jnp.sum(h[:8, :8], dtype=jnp.float32))
+        float(f1(prep, H)); float(triv(H))
+        base = np.median([_t(lambda: float(triv(H))) for _ in range(10)])
+        call = np.median([_t(lambda: float(f1(prep, H))) for _ in range(10)])
+        sec = max(call - base, 1e-9)
     rl = cost_for_prep(prep, P, h_itemsize=2).roofline(sec)
     print(
         f"  agg: {sec*1e3:.3f} ms  ({A.nnz/sec/1e6:.0f} M edges/s, "

@@ -177,7 +177,7 @@ class HaloBSRPlan:
     path. Tile counts are padded to the max across shards with zero tiles
     at (max rb, 0), which accumulate nothing."""
 
-    tiles: jax.Array  # [S, T, tb, tb]
+    tiles: jax.Array  # [S, T, tb, tb] (or [S, T, tb, tb/8] packed masks)
     tile_rb: jax.Array  # int32[S, T]
     tile_cb: jax.Array  # int32[S, T]
     tiles_t: jax.Array  # [S, Tt, tb, tb]  transposed local block
@@ -187,13 +187,28 @@ class HaloBSRPlan:
 
 
 def build_halo_bsr(
-    G: HaloGraph, *, tb: int = 256, dtype=jnp.bfloat16
+    G: HaloGraph, *, tb: int = 256, dtype=jnp.bfloat16,
+    mask: bool = False,
 ) -> HaloBSRPlan:
-    """Densify each shard's local block into BSR tiles (fwd + transposed)."""
-    from sgracex1_tpu.ops.bsr import bsr_from_sparse
+    """Densify each shard's local block into BSR tiles (fwd + transposed).
+
+    ``mask=True`` builds int8 {0,1} edge-presence tiles — 1-bit packed
+    when ``tb/8`` is lane-aligned — instead of value tiles. That is all
+    the distributed flash-GAT layer reads from the adjacency
+    (``dist_gat_layer_halo_flash`` masks via ``tile > 0``), and it is
+    what makes the plan viable at the 2^22-node scale: a per-shard f32
+    value tile set is tens of GB there, the packed masks tens of MB.
+    GCN aggregation needs the values — use value tiles (or better, the
+    fused plans in parallel/halo_fused) for that."""
+    from sgracex1_tpu.ops.bsr import (
+        bsr_bitmask_from_sparse,
+        bsr_from_sparse,
+        bsr_mask_from_sparse,
+    )
 
     S = G.n_shards
     n_local = G.n_local
+    packed = mask and tb % 8 == 0 and (tb // 8) % 128 == 0
     plans, plans_t = [], []
     for s in range(S):
         r = np.asarray(G.rows_loc[s])
@@ -201,8 +216,17 @@ def build_halo_bsr(
         v = np.asarray(G.vals_loc[s], dtype=np.float32)
         A_l = SparseMatrix.from_coo(r, c, v, (n_local, n_local))
         At_l = SparseMatrix.from_coo(c, r, v, (n_local, n_local))
-        plans.append(bsr_from_sparse(A_l, tb=tb, dtype=dtype))
-        plans_t.append(bsr_from_sparse(At_l, tb=tb, dtype=dtype))
+        if packed:
+            build = lambda M: bsr_bitmask_from_sparse(M, tb=tb)
+        elif mask:
+            build = lambda M: bsr_mask_from_sparse(M, tb=tb)
+        else:
+            build = lambda M: bsr_from_sparse(M, tb=tb, dtype=dtype)
+        plans.append(build(A_l))
+        plans_t.append(build(At_l))
+
+    inner = tb // 8 if packed else tb
+    np_dtype = np.asarray(plans[0].tiles).dtype
 
     def stack(ps):
         # full row-block cover: every row block needs >= 1 tile, or the flash
@@ -215,19 +239,19 @@ def build_halo_bsr(
         for p in ps:
             rb_ = np.asarray(p.tile_rb)
             cb_ = np.asarray(p.tile_cb)
-            t_ = np.asarray(p.tiles, dtype=np.float32)
+            t_ = np.asarray(p.tiles)
             missing = np.setdiff1d(np.arange(n_rt, dtype=np.int32), rb_)
             if len(missing):
                 rb_ = np.concatenate([rb_, missing])
                 cb_ = np.concatenate([cb_, np.zeros_like(missing)])
                 t_ = np.concatenate(
-                    [t_, np.zeros((len(missing), tb, tb), np.float32)]
+                    [t_, np.zeros((len(missing), tb, inner), t_.dtype)]
                 )
                 order = np.lexsort((cb_, rb_))
                 rb_, cb_, t_ = rb_[order], cb_[order], t_[order]
             full.append((t_, rb_, cb_))
         T = max(t_.shape[0] for t_, _, _ in full)
-        tiles = np.zeros((S, T, tb, tb), np.float32)
+        tiles = np.zeros((S, T, tb, inner), np_dtype)
         rb = np.zeros((S, T), np.int32)
         cb = np.zeros((S, T), np.int32)
         for s, (t_, rb_, cb_) in enumerate(full):
@@ -236,7 +260,10 @@ def build_halo_bsr(
             rb[s, :k] = rb_
             cb[s, :k] = cb_
             rb[s, k:] = rb_[-1]  # zero padding tiles: no 'first' reset
-        return jnp.asarray(tiles).astype(dtype), jnp.asarray(rb), jnp.asarray(cb)
+        out = jnp.asarray(tiles)
+        if not (mask or packed):
+            out = out.astype(dtype)
+        return out, jnp.asarray(rb), jnp.asarray(cb)
 
     t, rb, cb = stack(plans)
     tt, rbt, cbt = stack(plans_t)

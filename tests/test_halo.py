@@ -265,3 +265,44 @@ def test_halo_handles_no_remote_edges(rng):
     )
     expect = np.asarray(spmm(A, jnp.asarray(H[:n])))
     np.testing.assert_allclose(out[:n], expect, rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("tb,expect_dtype", [(8, "int8"), (1024, "uint8")])
+def test_halo_bsr_mask_tiles(rng, tb, expect_dtype):
+    """build_halo_bsr(mask=True): int8 {0,1} tiles (or 1-bit packed when
+    tb/8 is lane-aligned) — the capacity form the distributed flash-GAT
+    layer needs at scale; parity with the value-tile plan."""
+    import jax.numpy as jnp
+
+    from sgracex1_tpu.parallel.halo import (
+        build_halo_bsr,
+        dist_gat_layer_halo_flash,
+    )
+
+    n, n_dev, f, F = (96, 2, 12, 8) if tb == 8 else (4096, 2, 12, 8)
+    A, G, mesh, X, X_d, n_pad = _setup(rng, n, n_dev, f=f)
+    G_host = jax.tree.map(np.asarray, G)
+    BPm = build_halo_bsr(G_host, tb=tb, mask=True)
+    assert str(BPm.tiles.dtype) == expect_dtype
+    if expect_dtype == "uint8":
+        assert BPm.tiles.shape[-1] == tb // 8
+    BPv = build_halo_bsr(G_host, tb=tb, dtype=jnp.float32)
+    W = jnp.asarray(rng.standard_normal((f, F)).astype(np.float32) * 0.3)
+    att = jnp.asarray(
+        rng.standard_normal((2 * F, 1)).astype(np.float32) * 0.3
+    )
+    out_m = np.asarray(
+        jax.jit(
+            lambda xv: dist_gat_layer_halo_flash(
+                mesh, G, BPm, xv, W, att, relu=True
+            )
+        )(X_d)
+    )[:n]
+    out_v = np.asarray(
+        jax.jit(
+            lambda xv: dist_gat_layer_halo_flash(
+                mesh, G, BPv, xv, W, att, relu=True
+            )
+        )(X_d)
+    )[:n]
+    np.testing.assert_allclose(out_m, out_v, rtol=2e-2, atol=2e-2)
