@@ -43,7 +43,16 @@ def _round_up(x: int, m: int) -> int:
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class BSRMatrix:
-    """Nonempty dense tiles of a sparse matrix, sorted by (rb, cb)."""
+    """Nonempty dense tiles of a sparse matrix, sorted by (rb, cb).
+
+    ``slices``: static (tile_lo, tile_hi, rb_lo, rb_hi) call slices cut
+    at row-block-run boundaries, computed host-side at build time. Grid
+    kernels consuming >_MAX_TILES_PER_CALL tiles must split into one
+    pallas call per slice: the per-call scalar-prefetch arrays live in
+    SMEM, and a 100k-tile schedule (2^20-node flash GAT at tb=128)
+    exhausts it — the same boundary ops/fused_agg hit at 2^23. None
+    means "not computed" (device-built transposes, padded plans);
+    consumers fall back to a single call."""
 
     tiles: jax.Array  # [T, tb, tb]
     tile_rb: jax.Array  # int32[T]
@@ -51,6 +60,9 @@ class BSRMatrix:
     n_rows: int = dataclasses.field(metadata=dict(static=True))
     n_cols: int = dataclasses.field(metadata=dict(static=True))
     tb: int = dataclasses.field(metadata=dict(static=True))
+    slices: tuple | None = dataclasses.field(
+        default=None, metadata=dict(static=True)
+    )
 
     @property
     def num_tiles(self) -> int:
@@ -59,6 +71,42 @@ class BSRMatrix:
     @property
     def n_row_tiles(self) -> int:
         return _round_up(self.n_rows, self.tb) // self.tb
+
+
+# max grid steps per pallas call for tile-streaming kernels (see
+# BSRMatrix.slices); ops/fused_agg has its own equivalent constant
+_MAX_TILES_PER_CALL = 8192
+
+
+def tile_call_slices(tile_rb: "np.ndarray", n_rt: int) -> tuple:
+    """Static (lo, hi, rb_lo, rb_hi) slices over a HOST rb array, cut at
+    row-block-run boundaries with at most _MAX_TILES_PER_CALL tiles per
+    slice (a longer single run stays whole)."""
+    T = len(tile_rb)
+    run_starts = np.flatnonzero(
+        np.r_[True, tile_rb[1:] != tile_rb[:-1]]
+    )
+    slices = []
+    lo = 0
+    while lo < T:
+        if T - lo <= _MAX_TILES_PER_CALL:
+            hi = T
+        else:
+            k = np.searchsorted(
+                run_starts, lo + _MAX_TILES_PER_CALL, side="right"
+            ) - 1
+            hi = int(run_starts[k])
+            if hi <= lo:
+                k2 = np.searchsorted(run_starts, lo, side="right")
+                hi = int(run_starts[k2]) if k2 < len(run_starts) else T
+        # the first slice starts at block 0 and the last ends at n_rt so
+        # the concatenated outputs align with the unsliced [n_rt*tb, ...]
+        # shape (row blocks with no tiles stay unwritten, as before)
+        rb_lo = int(tile_rb[lo]) if lo > 0 else 0
+        rb_hi = int(tile_rb[hi]) if hi < T else n_rt
+        slices.append((lo, hi, rb_lo, rb_hi))
+        lo = hi
+    return tuple(slices)
 
 
 def bsr_tile_keys(
@@ -232,6 +280,9 @@ def bsr_from_sparse(
         n_rows=A.n_rows,
         n_cols=A.n_cols,
         tb=tb,
+        slices=tile_call_slices(
+            tile_rb, _round_up(A.n_rows, tb) // tb
+        ),
     )
 
 
@@ -295,11 +346,18 @@ def pad_bsr_tile_count(B: BSRMatrix, T_pad: int) -> BSRMatrix:
         [B.tiles, jnp.zeros((pad,) + B.tiles.shape[1:], B.tiles.dtype)]
     )
     pad_rb = jnp.broadcast_to(B.tile_rb[-1], (pad,))
+    # pad tiles extend the FINAL rb run; grow the last call slice with
+    # them (or drop to single-call mode if slices were never computed)
+    slices = None
+    if B.slices is not None:
+        lo, hi, rb_lo, rb_hi = B.slices[-1]
+        slices = B.slices[:-1] + ((lo, hi + pad, rb_lo, rb_hi),)
     return dataclasses.replace(
         B,
         tiles=tiles,
         tile_rb=jnp.concatenate([B.tile_rb, pad_rb]),
         tile_cb=jnp.concatenate([B.tile_cb, jnp.zeros(pad, jnp.int32)]),
+        slices=slices,
     )
 
 

@@ -429,48 +429,90 @@ def flash_gat_forward(
     if s2.shape[0] != n_ct * tb:
         s2 = jnp.pad(s2, ((0, n_ct * tb - s2.shape[0]), (0, 0)))
 
-    out_spec = pl.BlockSpec((1, tb, F), lambda h, g, rbs, cbs: (h, rbs[g], 0))
-    stat_spec = pl.BlockSpec((1, tb, 1), lambda h, g, rbs, cbs: (h, rbs[g], 0))
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=(H, B.num_tiles),
-        in_specs=[
-            pl.BlockSpec(
-                (1, tb, B.tiles.shape[-1]), lambda h, g, rbs, cbs: (g, 0, 0)
+    T = B.num_tiles
+    # split big tile schedules into one pallas call per B.slices entry
+    # (row-block-run boundaries; SMEM cap on the scalar-prefetch arrays —
+    # a 100k-tile single call at tb=128/2^20 nodes failed exactly like
+    # the 25k-step fused schedule at 2^23, see ops/bsr.BSRMatrix.slices)
+    slices = B.slices if B.slices is not None else ((0, T, 0, n_rt),)
+
+    s1h, s2h, Whh = _hmaj(s1), _hmaj(s2), _hmaj(Wh)
+
+    def _call(lo, hi, rb_lo, rb_hi):
+        nr = rb_hi - rb_lo
+        frac = (hi - lo) / T
+        out_spec = pl.BlockSpec(
+            (1, tb, F), lambda h, g, rbs, cbs: (h, rbs[g] - rb_lo, 0)
+        )
+        stat_spec = pl.BlockSpec(
+            (1, tb, 1), lambda h, g, rbs, cbs: (h, rbs[g] - rb_lo, 0)
+        )
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(H, hi - lo),
+            in_specs=[
+                pl.BlockSpec(
+                    (1, tb, B.tiles.shape[-1]),
+                    lambda h, g, rbs, cbs: (lo + g, 0, 0),
+                ),
+                pl.BlockSpec(
+                    (1, tb, 1), lambda h, g, rbs, cbs: (h, rbs[g], 0)
+                ),
+                pl.BlockSpec(
+                    (1, tb, 1), lambda h, g, rbs, cbs: (h, cbs[g], 0)
+                ),
+                pl.BlockSpec(
+                    (1, tb, F), lambda h, g, rbs, cbs: (h, cbs[g], 0)
+                ),
+            ],
+            out_specs=[out_spec, stat_spec, stat_spec]
+            if return_stats
+            else out_spec,
+            scratch_shapes=[
+                pltpu.VMEM((tb, 1), jnp.float32),
+                pltpu.VMEM((tb, 1), jnp.float32),
+                pltpu.VMEM((tb, F), jnp.float32),
+            ],
+        )
+        out_shape = jax.ShapeDtypeStruct((H, nr * tb, F), jnp.float32)
+        stat_shape = jax.ShapeDtypeStruct((H, nr * tb, 1), jnp.float32)
+        return pl.pallas_call(
+            partial(
+                _flash_gat_kernel_stats
+                if return_stats
+                else _flash_gat_kernel,
+                alpha=alpha,
+                fast_exp=fast_exp,
             ),
-            pl.BlockSpec((1, tb, 1), lambda h, g, rbs, cbs: (h, rbs[g], 0)),
-            pl.BlockSpec((1, tb, 1), lambda h, g, rbs, cbs: (h, cbs[g], 0)),
-            pl.BlockSpec((1, tb, F), lambda h, g, rbs, cbs: (h, cbs[g], 0)),
-        ],
-        out_specs=[out_spec, stat_spec, stat_spec] if return_stats else out_spec,
-        scratch_shapes=[
-            pltpu.VMEM((tb, 1), jnp.float32),
-            pltpu.VMEM((tb, 1), jnp.float32),
-            pltpu.VMEM((tb, F), jnp.float32),
-        ],
-    )
-    out_shape = jax.ShapeDtypeStruct((H, n_rt * tb, F), jnp.float32)
-    stat_shape = jax.ShapeDtypeStruct((H, n_rt * tb, 1), jnp.float32)
-    res = pl.pallas_call(
-        partial(
-            _flash_gat_kernel_stats if return_stats else _flash_gat_kernel,
-            alpha=alpha,
-            fast_exp=fast_exp,
-        ),
-        grid_spec=grid_spec,
-        out_shape=[out_shape, stat_shape, stat_shape]
-        if return_stats
-        else out_shape,
-        interpret=interpret,
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=_VMEM_LIMIT
-        ),
-        cost_estimate=pl.CostEstimate(
-            flops=2 * H * B.num_tiles * tb * tb * (F + 4),
-            bytes_accessed=H * B.num_tiles * (tb * tb * 2 + tb * F * 2),
-            transcendentals=H * B.num_tiles * tb * tb,
-        ),
-    )(B.tile_rb, B.tile_cb, B.tiles, _hmaj(s1), _hmaj(s2), _hmaj(Wh))
+            grid_spec=grid_spec,
+            out_shape=[out_shape, stat_shape, stat_shape]
+            if return_stats
+            else out_shape,
+            interpret=interpret,
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=_VMEM_LIMIT
+            ),
+            cost_estimate=pl.CostEstimate(
+                flops=int(2 * H * T * frac * tb * tb * (F + 4)),
+                bytes_accessed=int(
+                    H * T * frac * (tb * tb * 2 + tb * F * 2)
+                ),
+                transcendentals=int(H * T * frac * tb * tb),
+            ),
+        )(
+            B.tile_rb[lo:hi], B.tile_cb[lo:hi], B.tiles, s1h, s2h, Whh
+        )
+
+    parts = [_call(*sl) for sl in slices]
+    if len(parts) == 1:
+        res = parts[0]
+    elif return_stats:
+        res = tuple(
+            jnp.concatenate([p[i] for p in parts], axis=1)
+            for i in range(3)
+        )
+    else:
+        res = jnp.concatenate(parts, axis=1)
 
     def shape_out(o):
         o = jnp.transpose(o, (1, 0, 2))[: B.n_rows]  # [N, H, F]

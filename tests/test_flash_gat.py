@@ -362,3 +362,36 @@ def test_fast_exp_approximation_bounds():
     assert rel.max() < 0.031, rel.max()
     deep = np.asarray(_fast_exp(jnp.asarray([-1e5, -1e9, -200.0])))
     np.testing.assert_array_equal(deep, 0.0)
+
+
+def test_flash_forward_sliced_parity(rng, monkeypatch):
+    """Tile schedules past _MAX_TILES_PER_CALL split into multiple pallas
+    calls at row-block boundaries (SMEM cap at the 100k-tile scale);
+    forward and stats outputs must match the single-call kernel."""
+    import sgracex1_tpu.ops.bsr as bsrmod
+    from sgracex1_tpu.graph.normalize import sym_norm
+    from sgracex1_tpu.ops.bsr import bsr_mask_from_sparse
+    from sgracex1_tpu.ops.flash_gat import flash_gat_forward
+
+    n = 1024
+    m = n * 6
+    ei = np.unique(
+        np.stack([rng.integers(0, n, m), rng.integers(0, n, m)]), axis=1
+    )
+    A = sym_norm(ei, n, fill=1.0)
+    B1 = bsr_mask_from_sparse(A, tb=128)
+    assert len(B1.slices) == 1
+    monkeypatch.setattr(bsrmod, "_MAX_TILES_PER_CALL", 7)
+    B2 = bsr_mask_from_sparse(A, tb=128)
+    assert len(B2.slices) > 1
+    Wh = jnp.asarray(rng.standard_normal((n, 16)).astype(np.float32))
+    s1 = jnp.asarray(rng.standard_normal(n).astype(np.float32))
+    s2 = jnp.asarray(rng.standard_normal(n).astype(np.float32))
+    o1, m1, l1 = flash_gat_forward(B1, s1, s2, Wh, return_stats=True)
+    o2, m2, l2 = flash_gat_forward(B2, s1, s2, Wh, return_stats=True)
+    np.testing.assert_allclose(np.asarray(o2), np.asarray(o1), rtol=2e-5,
+                               atol=2e-5)
+    np.testing.assert_allclose(np.asarray(m2), np.asarray(m1), rtol=1e-6,
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(l2), np.asarray(l1), rtol=1e-6,
+                               atol=1e-6)
