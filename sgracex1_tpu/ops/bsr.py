@@ -63,6 +63,11 @@ class BSRMatrix:
     slices: tuple | None = dataclasses.field(
         default=None, metadata=dict(static=True)
     )
+    # same, over the COLUMN-sorted tile order (consumed by the flash
+    # backward's column-streaming pass): (pos_lo, pos_hi, cb_lo, cb_hi)
+    slices_col: tuple | None = dataclasses.field(
+        default=None, metadata=dict(static=True)
+    )
 
     @property
     def num_tiles(self) -> int:
@@ -283,6 +288,9 @@ def bsr_from_sparse(
         slices=tile_call_slices(
             tile_rb, _round_up(A.n_rows, tb) // tb
         ),
+        slices_col=tile_call_slices(
+            np.sort(tile_cb), _round_up(A.n_cols, tb) // tb
+        ),
     )
 
 
@@ -347,7 +355,10 @@ def pad_bsr_tile_count(B: BSRMatrix, T_pad: int) -> BSRMatrix:
     )
     pad_rb = jnp.broadcast_to(B.tile_rb[-1], (pad,))
     # pad tiles extend the FINAL rb run; grow the last call slice with
-    # them (or drop to single-call mode if slices were never computed)
+    # them (or drop to single-call mode if slices were never computed).
+    # slices_col cannot survive padding (cb=0 pad tiles sort to the FRONT
+    # of the column order) — padded plans are CI-scale, single call is
+    # fine there.
     slices = None
     if B.slices is not None:
         lo, hi, rb_lo, rb_hi = B.slices[-1]
@@ -358,6 +369,7 @@ def pad_bsr_tile_count(B: BSRMatrix, T_pad: int) -> BSRMatrix:
         tile_rb=jnp.concatenate([B.tile_rb, pad_rb]),
         tile_cb=jnp.concatenate([B.tile_cb, jnp.zeros(pad, jnp.int32)]),
         slices=slices,
+        slices_col=None,
     )
 
 

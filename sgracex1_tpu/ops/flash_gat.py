@@ -713,43 +713,75 @@ def _bwd_row_pass(B, s1, s2, m, l, Wh, g_out, *, alpha, interpret,
     recompute tile probabilities."""
     tb = B.tb
     n_rt = B.n_row_tiles
+    T = B.num_tiles
     H = s1.shape[1]
     F = Wh.shape[1] // H
     W3 = _hmaj(Wh.reshape(-1, H, F))
     G3 = _hmaj(g_out.reshape(-1, H, F))
-    stat = pl.BlockSpec((1, tb, 1), lambda h, g, rbs, cbs: (h, rbs[g], 0))
-    row_grid = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=(H, B.num_tiles),
-        in_specs=[
-            pl.BlockSpec(
-                (1, tb, B.tiles.shape[-1]), lambda h, g, rbs, cbs: (g, 0, 0)
+    s1h, s2h, mh, lh = _hmaj(s1), _hmaj(s2), _hmaj(m), _hmaj(l)
+    slices = B.slices if B.slices is not None else ((0, T, 0, n_rt),)
+
+    def _call(lo, hi, rb_lo, rb_hi):
+        frac = (hi - lo) / T
+        stat = pl.BlockSpec(
+            (1, tb, 1), lambda h, g, rbs, cbs: (h, rbs[g] - rb_lo, 0)
+        )
+        stat_in = pl.BlockSpec(
+            (1, tb, 1), lambda h, g, rbs, cbs: (h, rbs[g], 0)
+        )
+        row_grid = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(H, hi - lo),
+            in_specs=[
+                pl.BlockSpec(
+                    (1, tb, B.tiles.shape[-1]),
+                    lambda h, g, rbs, cbs: (lo + g, 0, 0),
+                ),
+                stat_in,
+                pl.BlockSpec(
+                    (1, tb, 1), lambda h, g, rbs, cbs: (h, cbs[g], 0)
+                ),
+                stat_in,
+                stat_in,
+                pl.BlockSpec(
+                    (1, tb, F), lambda h, g, rbs, cbs: (h, cbs[g], 0)
+                ),
+                pl.BlockSpec(
+                    (1, tb, F), lambda h, g, rbs, cbs: (h, rbs[g], 0)
+                ),
+            ],
+            out_specs=[stat, stat, stat],
+        )
+        stat_shape = jax.ShapeDtypeStruct(
+            (H, (rb_hi - rb_lo) * tb, 1), jnp.float32
+        )
+        return pl.pallas_call(
+            partial(_flash_bwd_row_kernel, alpha=alpha, fast_exp=fast_exp),
+            grid_spec=row_grid,
+            out_shape=[stat_shape, stat_shape, stat_shape],
+            interpret=interpret,
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=_VMEM_LIMIT
             ),
-            pl.BlockSpec((1, tb, 1), lambda h, g, rbs, cbs: (h, rbs[g], 0)),
-            pl.BlockSpec((1, tb, 1), lambda h, g, rbs, cbs: (h, cbs[g], 0)),
-            stat,
-            stat,
-            pl.BlockSpec((1, tb, F), lambda h, g, rbs, cbs: (h, cbs[g], 0)),
-            pl.BlockSpec((1, tb, F), lambda h, g, rbs, cbs: (h, rbs[g], 0)),
-        ],
-        out_specs=[stat, stat, stat],
-    )
-    stat_shape = jax.ShapeDtypeStruct((H, n_rt * tb, 1), jnp.float32)
-    t, u1, u2 = pl.pallas_call(
-        partial(_flash_bwd_row_kernel, alpha=alpha, fast_exp=fast_exp),
-        grid_spec=row_grid,
-        out_shape=[stat_shape, stat_shape, stat_shape],
-        interpret=interpret,
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=_VMEM_LIMIT
-        ),
-        cost_estimate=pl.CostEstimate(
-            flops=2 * H * B.num_tiles * tb * tb * (F + 4),
-            bytes_accessed=H * B.num_tiles * (tb * tb + 2 * tb * F * 4),
-            transcendentals=H * B.num_tiles * tb * tb,
-        ),
-    )(B.tile_rb, B.tile_cb, B.tiles, _hmaj(s1), _hmaj(s2), _hmaj(m),
-      _hmaj(l), W3, G3)
+            cost_estimate=pl.CostEstimate(
+                flops=int(2 * H * T * frac * tb * tb * (F + 4)),
+                bytes_accessed=int(
+                    H * T * frac * (tb * tb + 2 * tb * F * 4)
+                ),
+                transcendentals=int(H * T * frac * tb * tb),
+            ),
+        )(
+            B.tile_rb[lo:hi], B.tile_cb[lo:hi], B.tiles,
+            s1h, s2h, mh, lh, W3, G3,
+        )
+
+    parts = [_call(*sl) for sl in slices]
+    if len(parts) == 1:
+        t, u1, u2 = parts[0]
+    else:
+        t, u1, u2 = (
+            jnp.concatenate([p[i] for p in parts], axis=1) for i in range(3)
+        )
     return t[:, :, 0].T, u1[:, :, 0].T, u2[:, :, 0].T
 
 
@@ -760,6 +792,7 @@ def _bwd_col_pass(B, s1, s2, m, l, t, Wh, g_out, *, alpha, interpret,
     (local + any external edges) the Jacobian identity subtracts."""
     tb = B.tb
     n_ct = _round_up(B.n_cols, tb) // tb
+    T = B.num_tiles
     H = s1.shape[1]
     F = Wh.shape[1] // H
     W3 = _hmaj(Wh.reshape(-1, H, F))
@@ -767,59 +800,81 @@ def _bwd_col_pass(B, s1, s2, m, l, t, Wh, g_out, *, alpha, interpret,
     perm = jnp.argsort(B.tile_cb)
     rbs_c = jnp.take(B.tile_rb, perm)
     cbs_c = jnp.take(B.tile_cb, perm)
+    s1h, s2h, mh, lh, th = (
+        _hmaj(s1), _hmaj(s2), _hmaj(m), _hmaj(l), _hmaj(t)
+    )
+    slices = (
+        B.slices_col if B.slices_col is not None else ((0, T, 0, n_ct),)
+    )
 
-    rstat = pl.BlockSpec(
-        (1, tb, 1), lambda h, g, perm, rbs, cbs: (h, rbs[g], 0)
-    )
-    col_grid = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
-        grid=(H, B.num_tiles),
-        in_specs=[
-            pl.BlockSpec(
-                (1, tb, B.tiles.shape[-1]),
-                lambda h, g, perm, rbs, cbs: (perm[g], 0, 0),
+    def _call(lo, hi, cb_lo, cb_hi):
+        frac = (hi - lo) / T
+        rstat = pl.BlockSpec(
+            (1, tb, 1), lambda h, g, perm, rbs, cbs: (h, rbs[g], 0)
+        )
+        col_grid = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,
+            grid=(H, hi - lo),
+            in_specs=[
+                pl.BlockSpec(
+                    (1, tb, B.tiles.shape[-1]),
+                    lambda h, g, perm, rbs, cbs: (perm[g], 0, 0),
+                ),
+                rstat,
+                pl.BlockSpec(
+                    (1, tb, 1), lambda h, g, perm, rbs, cbs: (h, cbs[g], 0)
+                ),
+                rstat,
+                rstat,
+                rstat,
+                pl.BlockSpec(
+                    (1, tb, F), lambda h, g, perm, rbs, cbs: (h, cbs[g], 0)
+                ),
+                pl.BlockSpec(
+                    (1, tb, F), lambda h, g, perm, rbs, cbs: (h, rbs[g], 0)
+                ),
+            ],
+            out_specs=[
+                pl.BlockSpec(
+                    (1, tb, F),
+                    lambda h, g, perm, rbs, cbs: (h, cbs[g] - cb_lo, 0),
+                ),
+                pl.BlockSpec(
+                    (1, tb, 1),
+                    lambda h, g, perm, rbs, cbs: (h, cbs[g] - cb_lo, 0),
+                ),
+            ],
+        )
+        nc = cb_hi - cb_lo
+        return pl.pallas_call(
+            partial(_flash_bwd_col_kernel, alpha=alpha, fast_exp=fast_exp),
+            grid_spec=col_grid,
+            out_shape=[
+                jax.ShapeDtypeStruct((H, nc * tb, F), jnp.float32),
+                jax.ShapeDtypeStruct((H, nc * tb, 1), jnp.float32),
+            ],
+            interpret=interpret,
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=_VMEM_LIMIT
             ),
-            rstat,
-            pl.BlockSpec(
-                (1, tb, 1), lambda h, g, perm, rbs, cbs: (h, cbs[g], 0)
+            cost_estimate=pl.CostEstimate(
+                flops=int(4 * H * T * frac * tb * tb * (F + 2)),
+                bytes_accessed=int(
+                    H * T * frac * (tb * tb + 3 * tb * F * 4)
+                ),
+                transcendentals=int(H * T * frac * tb * tb),
             ),
-            rstat,
-            rstat,
-            rstat,
-            pl.BlockSpec(
-                (1, tb, F), lambda h, g, perm, rbs, cbs: (h, cbs[g], 0)
-            ),
-            pl.BlockSpec(
-                (1, tb, F), lambda h, g, perm, rbs, cbs: (h, rbs[g], 0)
-            ),
-        ],
-        out_specs=[
-            pl.BlockSpec(
-                (1, tb, F), lambda h, g, perm, rbs, cbs: (h, cbs[g], 0)
-            ),
-            pl.BlockSpec(
-                (1, tb, 1), lambda h, g, perm, rbs, cbs: (h, cbs[g], 0)
-            ),
-        ],
-    )
-    dWh, ds2 = pl.pallas_call(
-        partial(_flash_bwd_col_kernel, alpha=alpha, fast_exp=fast_exp),
-        grid_spec=col_grid,
-        out_shape=[
-            jax.ShapeDtypeStruct((H, n_ct * tb, F), jnp.float32),
-            jax.ShapeDtypeStruct((H, n_ct * tb, 1), jnp.float32),
-        ],
-        interpret=interpret,
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=_VMEM_LIMIT
-        ),
-        cost_estimate=pl.CostEstimate(
-            flops=4 * H * B.num_tiles * tb * tb * (F + 2),
-            bytes_accessed=H * B.num_tiles * (tb * tb + 3 * tb * F * 4),
-            transcendentals=H * B.num_tiles * tb * tb,
-        ),
-    )(perm, rbs_c, cbs_c, B.tiles, _hmaj(s1), _hmaj(s2), _hmaj(m),
-      _hmaj(l), _hmaj(t), W3, G3)
+        )(
+            perm[lo:hi], rbs_c[lo:hi], cbs_c[lo:hi], B.tiles,
+            s1h, s2h, mh, lh, th, W3, G3,
+        )
+
+    parts = [_call(*sl) for sl in slices]
+    if len(parts) == 1:
+        dWh, ds2 = parts[0]
+    else:
+        dWh = jnp.concatenate([p[0] for p in parts], axis=1)
+        ds2 = jnp.concatenate([p[1] for p in parts], axis=1)
     return (
         jnp.transpose(dWh, (1, 0, 2)).reshape(n_ct * tb, H * F),
         ds2[:, :, 0].T,

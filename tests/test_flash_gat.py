@@ -395,3 +395,46 @@ def test_flash_forward_sliced_parity(rng, monkeypatch):
                                atol=1e-6)
     np.testing.assert_allclose(np.asarray(l2), np.asarray(l1), rtol=1e-6,
                                atol=1e-6)
+
+
+def test_flash_backward_sliced_parity(rng, monkeypatch):
+    """Both backward passes split like the forward (row slices + column
+    slices over the col-sorted order); gradients must match."""
+    import sgracex1_tpu.ops.bsr as bsrmod
+    from sgracex1_tpu.graph.normalize import sym_norm
+    from sgracex1_tpu.ops.bsr import bsr_mask_from_sparse
+    from sgracex1_tpu.ops.flash_gat import (
+        flash_gat_backward,
+        flash_gat_forward,
+    )
+
+    n = 768
+    m = n * 6
+    ei = np.unique(
+        np.stack([rng.integers(0, n, m), rng.integers(0, n, m)]), axis=1
+    )
+    A = sym_norm(ei, n, fill=1.0)
+    B1 = bsr_mask_from_sparse(A, tb=128)
+    monkeypatch.setattr(bsrmod, "_MAX_TILES_PER_CALL", 5)
+    B2 = bsr_mask_from_sparse(A, tb=128)
+    assert len(B2.slices) > 1 and len(B2.slices_col) > 1
+    F = 16
+    Wh = rng.standard_normal((n, F)).astype(np.float32)
+    s1 = rng.standard_normal(n).astype(np.float32)
+    s2 = rng.standard_normal(n).astype(np.float32)
+    g_out = rng.standard_normal((n, F)).astype(np.float32)
+    outs = []
+    for B in (B1, B2):
+        _, mm, ll = flash_gat_forward(
+            B, jnp.asarray(s1), jnp.asarray(s2), jnp.asarray(Wh),
+            return_stats=True,
+        )
+        outs.append(flash_gat_backward(
+            B, jnp.asarray(s1), jnp.asarray(s2), jnp.asarray(Wh),
+            jnp.asarray(g_out), mm, ll,
+        ))
+    for a, b, name in zip(outs[0], outs[1], ("ds1", "ds2", "dWh")):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), rtol=2e-5, atol=2e-5,
+            err_msg=name,
+        )
