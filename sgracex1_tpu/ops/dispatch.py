@@ -238,6 +238,43 @@ def split_by_tile_density(
     )
 
 
+# flash kernel per-tile-element seconds (score elementwise ops + one exp
+# at the measured VPU peaks — ~287 G elements/s; validates against pubmed
+# tb=1024 0.72 ms/184 tiles and 2^20 tb=1024 88.4 ms/21108 tiles)
+_FLASH_ELT_S = 3.5e-12
+# int8 full-adjacency mask budget before falling back to 1-bit packed
+# tb=1024 tiles (packing needs tb/8 lane-aligned, so only 1024 packs)
+_FLASH_TILE_BUDGET = 4 << 30
+
+
+def _choose_flash_tb(A: SparseMatrix, n: int) -> tuple[int, bool]:
+    """(tb, packed) for the flash-GAT mask tiles, by the measured model
+    ``T(tb) * (tb^2 * elt + step)`` over this graph's ACTUAL tile
+    populations.
+
+    The balance flips with scale: at pubmed (184 tb=1024 tiles) the
+    0.5 us grid-step overhead dominates and big tiles win (0.72 ms vs
+    1.02 at tb=512, r3); at 2^20 nodes the dead-lane VPU work dominates
+    and tb=256 wins (51.9 vs 88.4 ms, r4 measured). int8 masks are used
+    while they fit _FLASH_TILE_BUDGET; past that, 1-bit packed tb=1024
+    (8x the capacity, ~7% slower per tile)."""
+    if n <= 8192:
+        return 256, False
+    r = np.asarray(A.rows[: A.nnz]).astype(np.int64)
+    c = np.asarray(A.cols[: A.nnz]).astype(np.int64)
+    best = None
+    for tb in (256, 512, 1024):
+        T = len(np.unique((r // tb) << 32 | (c // tb)))
+        est = T * (tb * tb * _FLASH_ELT_S + _STEP_S)
+        if T * tb * tb <= _FLASH_TILE_BUDGET and (
+            best is None or est < best[0]
+        ):
+            best = (est, tb)
+    if best is None:
+        return 1024, True  # nothing fits as int8: packed capacity mode
+    return best[1], False
+
+
 def _drop_zero_val_edges(M: SparseMatrix) -> SparseMatrix:
     """Host-side filter of zero-valued edges (e.g. fill=0 self-loops).
 
@@ -341,15 +378,8 @@ def prepare_adjacency(
                 bsr_mask_from_sparse,
             )
 
-            # measured flash sweet spots (r3 sweep: pubmed tb=1024 0.72 ms
-            # vs 512's 1.02 — fewer grid steps win on the VPU-bound
-            # kernel). Beyond ~64k nodes the int8 FULL-adjacency mask set
-            # is multi-GB (every nonempty tile, not just the dense ones),
-            # so large graphs take the 1-bit packed form — ~7% slower per
-            # tile on the VPU-bound flash kernel (pubmed 0.773 vs
-            # 0.721 ms) for 8x the capacity.
-            gat_tb = 256 if n <= 8192 else 1024
-            if gat_tb == 1024 and n > 65536:
+            gat_tb, use_packed = _choose_flash_tb(A, n)
+            if use_packed:
                 tiles = bsr_bitmask_from_sparse(A, tb=gat_tb)
             else:
                 tiles = bsr_mask_from_sparse(A, tb=gat_tb)
