@@ -349,3 +349,26 @@ def test_for_gat_attaches_full_mask_on_hybrid(rng):
     # every edge present in the mask tiles
     nnz_mask = int(jnp.sum(prep.gat_bsr.tiles > 0))
     assert nnz_mask == A.nnz
+
+
+def test_choose_flash_tb_regimes(rng):
+    """Small graphs -> tb=256 int8; mid graphs with few big tiles ->
+    tb=1024 (grid-step overhead dominates); past the int8 budget ->
+    packed tb=1024 capacity mode."""
+    from sgracex1_tpu.ops import dispatch as dm
+
+    # tiny graph: fixed small-tile fast path
+    A, _ = _symnorm_graph(rng, n=1024)
+    assert dm._choose_flash_tb(A, 1024) == (256, False)
+    # banded mid graph: the model runs; any returned int8 tb is one of
+    # the candidates and within budget
+    A2, _ = _symnorm_graph(rng, n=20000, avg_degree=8)
+    tb, packed = dm._choose_flash_tb(A2, 20000)
+    assert tb in (256, 512, 1024) and not packed
+    # force the budget to zero: only the packed capacity mode remains
+    orig = dm._FLASH_TILE_BUDGET
+    try:
+        dm._FLASH_TILE_BUDGET = 0
+        assert dm._choose_flash_tb(A2, 20000) == (1024, True)
+    finally:
+        dm._FLASH_TILE_BUDGET = orig
