@@ -346,7 +346,7 @@ def phase_powerlaw_1m():
     )
     EXTRA["powerlaw_1m_prepare_s"] = round(time.time() - t0, 1)
     if prep.fused is not None:
-        EXTRA["powerlaw_1m_rest_chunks"] = int(prep.fused.num_chunks)
+        EXTRA["powerlaw_1m_rest_chunks"] = int(prep.fused.num_rest_chunks)
     _STASH["powerlaw_A"] = A  # reused by the int8 phase
     key = jax.random.PRNGKey(0)
     # bf16 features: the production dtype at this scale (the 2^21+ scale
@@ -419,6 +419,44 @@ def phase_powerlaw_1m():
         f"  ({A.nnz/sec_t/1e6:.0f} M edges/s)"
     )
     EXTRA["powerlaw_1m_train_step_ms"] = round(sec_t * 1e3, 3)
+
+    # flash-GAT attention at the same scale — a GAT the reference cannot
+    # express (its on-chip cap is N <= 6144). Mask tiles via the measured
+    # tile-size chooser (tb=256 int8 here — DESIGN §2); schedules past
+    # 8192 tiles run as sliced pallas calls.
+    from sgracex1_tpu.ops.bsr import (
+        bsr_bitmask_from_sparse,
+        bsr_mask_from_sparse,
+    )
+    from sgracex1_tpu.ops.dispatch import _choose_flash_tb
+    from sgracex1_tpu.ops.flash_gat import flash_gat_forward
+
+    gat_tb, packed = _choose_flash_tb(A, A.n_rows)
+    t0 = time.time()
+    Bg = (
+        bsr_bitmask_from_sparse(A, tb=gat_tb)
+        if packed
+        else bsr_mask_from_sparse(A, tb=gat_tb)
+    )
+    log(f"1M flash tiles: {Bg.num_tiles} x tb={gat_tb} "
+        f"({time.time()-t0:.0f}s build)")
+    F = 32
+    Whg = jax.random.normal(jax.random.PRNGKey(2), (A.n_rows, F))
+    s1g = jax.random.normal(jax.random.PRNGKey(3), (A.n_rows,))
+    s2g = jax.random.normal(jax.random.PRNGKey(4), (A.n_rows,))
+
+    def gat_step(wh, Bg, s1g, s2g):
+        o = flash_gat_forward(Bg, s1g, s2g, wh)
+        return wh + o[: wh.shape[0]] * 1e-12
+
+    tp = TwoPoint(gat_step, Whg, consts=(Bg, s1g, s2g), k1=2, k2=12)
+    sec_g = float(tp.estimate(reps=5))
+    log(
+        f"powerlaw 1M flash GAT fwd (tb={gat_tb}): {sec_g*1e3:.2f} ms "
+        f"({A.nnz/sec_g/1e6:.0f} M edges/s)"
+    )
+    EXTRA["powerlaw_1m_gat_fwd_ms"] = round(sec_g * 1e3, 2)
+    EXTRA["powerlaw_1m_gat_tb"] = gat_tb
 
 
 def phase_int8():

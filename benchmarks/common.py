@@ -18,10 +18,12 @@ def sync(x) -> float:
     The reduction accumulates in f32 WITHOUT an explicit astype: an eager
     ``l.astype(f32)`` materializes a full-size f32 copy of the carry —
     4 GiB for a [2^23, 128] bf16 carry, which alone OOMed the 2^23
-    single-chip sweep."""
+    single-chip sweep. Per-leaf scalars are summed ON DEVICE and pulled
+    with ONE float() — one relay round trip per sync, not one per leaf
+    (an Adam carry has ~30 leaves x ~25 ms otherwise)."""
     leaves = jax.tree_util.tree_leaves(x)
-    total = sum(float(jnp.sum(l, dtype=jnp.float32)) for l in leaves)
-    return total
+    total = sum(jnp.sum(l, dtype=jnp.float32) for l in leaves)
+    return float(total)
 
 
 def timed_loop(

@@ -24,7 +24,7 @@ def main():
     print(f"prepare {time.time()-t0:.1f}s kind={prep.kind} "
           f"tiles={prep.bsr.num_tiles} tb={prep.bsr.tb} "
           f"rest={prep.rest.nnz if prep.rest is not None else 0} "
-          f"chunks={prep.fused.num_chunks if prep.fused else 0} "
+          f"chunks={prep.fused.num_rest_chunks if prep.fused else 0} "
           f"K={prep.fused.K if prep.fused else 0}", flush=True)
     prep_old = dataclasses.replace(prep, fused=None, fused_t=None)
 

@@ -133,51 +133,49 @@ def rank1_factor(
     # General rank-1 values: EXACT spanning-forest propagation on the
     # bipartite (row-node, col-node) graph. The consistent system
     # ``log s_r + log s_c = log v`` is determined up to one constant per
-    # connected component, so assigning x along any spanning tree (BFS
-    # predecessors) and verifying every edge is a one-pass exact solve —
-    # it replaces the r3 alternating Gauss-Seidel, whose iteration cap
-    # both cost 200 rounds on non-factorable graphs (the bench.py
-    # phase-1 warning) and could reject genuinely rank-1 graphs of large
-    # diameter. ``iters`` is kept for API compatibility and ignored.
-    del iters
+    # connected component, so assigning x along any spanning forest and
+    # verifying every edge is an exact solve — it replaces the r3
+    # alternating Gauss-Seidel, whose iteration cap both cost 200 rounds
+    # on non-factorable graphs (the bench.py phase-1 warning) and could
+    # reject genuinely rank-1 graphs of large diameter. The propagation
+    # is LEVEL-VECTORIZED: every component is seeded at once (one root
+    # per connected component) and each sweep assigns the whole next
+    # frontier with one vectorized pass over the edge list — no per-node
+    # Python loop (which cost tens of seconds at the 2^22 scale).
+    # Conflicting same-sweep assignments resolve arbitrarily; if the
+    # system is consistent they agree, and if not the final per-edge
+    # verify rejects the graph either way. ``iters`` caps the sweep
+    # count (default: enough for any graph whose diameter is under
+    # ~4*sqrt(N); deeper path-like graphs fall back to value tiles).
     import scipy.sparse as _sp
-    from scipy.sparse.csgraph import breadth_first_order
+    from scipy.sparse.csgraph import connected_components
 
     nb = n_r + n_c
+    src = np.r_[r, c + n_r]
+    dst = np.r_[c + n_r, r]
+    ww = np.r_[w, w]
     adj = _sp.coo_matrix(
-        (
-            np.ones(2 * len(r), np.int8),
-            (np.r_[r, c + n_r], np.r_[c + n_r, r]),
-        ),
-        shape=(nb, nb),
+        (np.ones(len(src), np.int8), (src, dst)), shape=(nb, nb)
     ).tocsr()
-    # edge-weight lookup (p, child) -> w via the sorted unique keys
-    key_order = np.argsort(key, kind="stable")
-    keys_sorted = key[key_order]
-    w_sorted = w[key_order]
+    n_comp, labels = connected_components(adj, directed=False)
+    # one root per component: the first node of each label
+    _, roots = np.unique(labels, return_index=True)
     x = np.zeros(nb)
     seen = np.zeros(nb, bool)
-    deg = np.diff(adj.indptr)
-    for root in np.nonzero(deg)[0]:
-        if seen[root]:
-            continue
-        order, pred = breadth_first_order(
-            adj, root, directed=False, return_predecessors=True
-        )
-        seen[order] = True
-        nodes = order[1:]  # root keeps x = 0
-        if len(nodes) == 0:
-            continue
-        p = pred[nodes]
-        # normalize (parent, child) to a (row, col) edge key
-        rows_e = np.where(nodes < n_r, nodes, p)
-        cols_e = np.where(nodes < n_r, p, nodes) - n_r
-        we = w_sorted[
-            np.searchsorted(keys_sorted, rows_e * n_c + cols_e)
-        ]
-        # BFS order guarantees the parent is assigned before the child
-        for node, parent, wv in zip(nodes, p, we):
-            x[node] = wv - x[parent]
+    seen[roots] = True
+    max_sweeps = iters if iters is not None else max(
+        64, int(4 * np.sqrt(nb))
+    )
+    for _ in range(max_sweeps):
+        m = seen[src] & ~seen[dst]
+        if not m.any():
+            break
+        d = dst[m]
+        x[d] = ww[m] - x[src[m]]  # duplicate d: last write wins (see above)
+        seen[d] = True
+    else:
+        if not seen.all():
+            return None  # diameter beyond the sweep cap: fall back
     x_r, x_c = x[:n_r], x[n_r:]
     if not _verified(x_r, x_c):
         return None

@@ -104,6 +104,18 @@ def tile_call_slices(tile_rb: "np.ndarray", n_rt: int) -> tuple:
             if hi <= lo:
                 k2 = np.searchsorted(run_starts, lo, side="right")
                 hi = int(run_starts[k2]) if k2 < len(run_starts) else T
+                import warnings
+
+                warnings.warn(
+                    f"tile_call_slices: a single row-block run spans "
+                    f"{hi - lo} tiles (> the {_MAX_TILES_PER_CALL}-step "
+                    "SMEM-safe cap) and cannot be split — splitting a "
+                    "run would break in-run accumulation/softmax "
+                    "semantics. The compile may be very slow or fail "
+                    "with RESOURCE_EXHAUSTED; reduce tb or re-partition "
+                    "the hub rows.",
+                    stacklevel=3,
+                )
         # the first slice starts at block 0 and the last ends at n_rt so
         # the concatenated outputs align with the unsliced [n_rt*tb, ...]
         # shape (row blocks with no tiles stay unwritten, as before)

@@ -90,7 +90,16 @@ class FusedAggPlan:
 
     @property
     def num_chunks(self) -> int:
+        """PADDED chunk count (R_pad >= 1 — the G/lrow leading dim the
+        kernel indexes). For reporting use num_rest_chunks."""
         return self.lrow.shape[0]
+
+    @property
+    def num_rest_chunks(self) -> int:
+        """True remainder chunk count (0 when the split left no rest):
+        every schedule step is either one tile or one chunk, so
+        R = S - T exactly."""
+        return self.num_steps - self.B.tiles.shape[0]
 
 
 # max grid steps per pallas call; 5 int32 scalar-prefetch arrays at this
@@ -257,6 +266,17 @@ def build_fused_plan(
             if hi <= lo:  # one run longer than the cap: keep it whole
                 k2 = np.searchsorted(run_starts, lo, side="right")
                 hi = int(run_starts[k2]) if k2 < len(run_starts) else S
+                import warnings
+
+                warnings.warn(
+                    f"fused schedule: one row-block run spans {hi - lo} "
+                    f"steps (> the {_MAX_STEPS}-step SMEM-safe cap) and "
+                    "cannot be split without breaking in-run "
+                    "accumulation; the compile may be very slow or fail "
+                    "with RESOURCE_EXHAUSTED. Reduce tb or re-partition "
+                    "the hub rows.",
+                    stacklevel=3,
+                )
         rb_lo = int(s_rb[lo])
         rb_hi = int(s_rb[hi]) if hi < S else n_rt
         slices.append((lo, hi, rb_lo, rb_hi))

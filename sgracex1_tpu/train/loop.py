@@ -69,11 +69,20 @@ def _prepare_backend(A: SparseMatrix, cfg: SGRACEConfig, model, prepare):
 
 
 def _pad_prep_tiles(
-    prep: PreparedAdjacency, sticky: dict
+    prep: PreparedAdjacency, sticky: dict, *, drop_fused: bool = False
 ) -> PreparedAdjacency:
     """Sticky tile-count padding across re-prepared graphs (sampled
     batches): grows each tile plan to the largest count seen so far so
-    the jitted step keeps one traced shape (pad_bsr_tile_count)."""
+    the jitted step keeps one traced shape (pad_bsr_tile_count).
+
+    ``drop_fused`` (the fresh-graphs-per-epoch sampled loop) additionally
+    drops bsr-kind preps' fused schedules: the fused plan's step/chunk
+    arrays (and static slices) vary per graph, which would defeat the
+    padding — the padded tiles run the older _bsr_agg_scaled path
+    instead (same math, stable shapes). Hybrid preps cannot be
+    shape-stabilized at all (the rest edge count is a static slice
+    bound) and retrace per batch — the cost model only picks hybrid well
+    past sampled-batch sizes."""
     from sgracex1_tpu.ops.bsr import pad_bsr_tile_count
 
     updates = {}
@@ -85,6 +94,13 @@ def _pad_prep_tiles(
         sticky[key] = max(sticky.get(key, 0), B.num_tiles)
         if sticky[key] > B.num_tiles:
             updates[f] = pad_bsr_tile_count(B, sticky[key])
+    # dropped for EVERY batch (not just padded ones) so the step's traced
+    # pytree structure is identical from batch 1 onward. Static-batch
+    # loops (graph-cls, PPI) keep the fused plans: their per-graph trace
+    # amortizes over every epoch.
+    if drop_fused and prep.kind == "bsr" and prep.fused is not None:
+        updates["fused"] = None
+        updates["fused_t"] = None
     return dataclasses.replace(prep, **updates) if updates else prep
 
 
@@ -250,7 +266,11 @@ def train_node_classifier_sampled(
         return state.apply_gradients(grads=grads), loss
 
     @jax.jit
-    def evaluate(state):
+    def evaluate(state, A_full):
+        # A_full is an ARGUMENT: with prepare="auto" it carries prepared
+        # tile arrays, and a closure capture would embed them in the
+        # program shipped to the remote compiler (HTTP 413 at pubmed
+        # size — the same fix train_node_classifier's step got)
         logits = state.apply_fn(state.params, A_full, x_full, training=False)
         pred = jnp.argmax(logits, -1)
         return {
@@ -273,7 +293,7 @@ def train_node_classifier_sampled(
             rng, drng = jax.random.split(rng)
             bA = _prepare_backend(b.A.device(), cfg, model, prepare)
             if isinstance(bA, PreparedAdjacency):
-                bA = _pad_prep_tiles(bA, tile_pads)
+                bA = _pad_prep_tiles(bA, tile_pads, drop_fused=True)
             state, loss = step(
                 state,
                 bA,
@@ -282,7 +302,7 @@ def train_node_classifier_sampled(
                 jnp.asarray(b.seed_mask.astype(np.float32)),
                 drng,
             )
-        accs = evaluate(state)
+        accs = evaluate(state, A_full)
         tr, te = float(accs["train"]), float(accs["test"])
         hist.loss.append(float(loss))
         hist.train_acc.append(tr)
