@@ -537,39 +537,37 @@ def phase_int8():
         f"({2*adj.nnz/sec2/1e6:.0f} M edge-layers/s)")
     EXTRA["int8_pubmed_gcn2_ms"] = round(sec2 * 1e3, 4)
 
-    # --- 1M-node int8 value-tile aggregation (adjacency-quantized) ---
+    # --- 1M-node FULL-integer hybrid aggregation (adjacency-quantized):
+    # shifted-int8 dense tiles + quantized remainder chunks in one fused
+    # schedule — every edge of the graph, exact int32 out ---
     A = _STASH.get("powerlaw_A")
     if A is None:
         log("int8 1M: powerlaw graph unavailable (phase 3 skipped)")
         return
-    from sgracex1_tpu.ops.dispatch import split_by_tile_density
-
-    part, rest_m = split_by_tile_density(A, 1024, 65)
     c_a = qi8.QuantConstants(
         s_o=1.0,
         s=max(float(np.asarray(A.vals[: A.nnz]).max()), 1e-8) / 255.0,
         z=0, qbits=8, signed=False,
     )
     t0 = time.time()
-    B8 = qi8.bsr_int8_from_sparse(
-        part, c_a, tb=1024, cover_cols=True, device_build=None
-    )
-    log(f"1M int8 tile build: {time.time()-t0:.0f}s "
-        f"({B8.num_tiles} tiles int8)")
+    plan8 = qi8.prepare_int8_hybrid(A, c_a, tb=1024)
+    log(f"1M int8 hybrid build: {time.time()-t0:.0f}s "
+        f"({plan8.B.num_tiles} tiles + {plan8.num_rest_chunks} chunks)")
     Hq = jax.device_put(
         (rng.integers(-127, 127, (A.n_cols, 128))).astype(np.int8)
     )
 
-    def agg8_step(h, B8):
-        acc = bsr_spmm_int8(B8, h)
+    def agg8_step(h, plan8):
+        acc = qi8.int8_hybrid_agg(plan8, h)
         return (h.astype(jnp.int32) + acc[: h.shape[0], :] // (1 << 30)).astype(
             jnp.int8
         )
 
-    tp = TwoPoint(agg8_step, Hq, consts=(B8,), k1=4, k2=24)
+    tp = TwoPoint(agg8_step, Hq, consts=(plan8,), k1=4, k2=24)
     sec3 = float(np.median([tp.estimate(reps=5) for _ in range(3)]))
-    log(f"powerlaw 1M int8 tile agg ({B8.num_tiles} tiles): "
-        f"{sec3*1e3:.3f} ms ({part.nnz/sec3/1e6:.0f} M edges/s)")
+    log(f"powerlaw 1M FULL-int8 hybrid agg ({plan8.B.num_tiles} tiles + "
+        f"{plan8.num_rest_chunks} chunks): "
+        f"{sec3*1e3:.3f} ms ({A.nnz/sec3/1e6:.0f} M edges/s)")
     EXTRA["int8_1m_agg_ms"] = round(sec3 * 1e3, 3)
     if EXTRA.get("powerlaw_1m_agg_ms"):
         EXTRA["int8_1m_vs_bf16"] = round(

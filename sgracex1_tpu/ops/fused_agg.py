@@ -472,3 +472,159 @@ def bsr_spmm_fused(
     parts = [_call(*sl) for sl in slices]
     out = parts[0] if len(parts) == 1 else jnp.concatenate(parts)
     return out[: B.n_rows]
+
+
+def _fused_int8_kernel(
+    srb, scb, stile, schunk, skind,
+    a_ref, h_ref, g_ref, lrow_ref, vrow_ref, out_ref,
+    acc_ref, accf_ref, *, tb: int, K: int,
+):
+    """Full-integer fused schedule: tile steps run shifted-int8 x int8 ->
+    int32 on the int8 MXU (per-tile zero-point correction, the
+    ops/bsr._bsr_int8_kernel identity); remainder chunk steps run a
+    VALUE-carrying one-hot in bf16 (the 0..255 adjacency grid and the
+    +-127 feature grid are exact in bf16, and the f32 accumulator is
+    exact for row remainder sums below 2^24 — far above the engine's
+    amax-tracked ranges). The two accumulators merge at the last step of
+    each output row block."""
+    g = pl.program_id(0)
+    S = pl.num_programs(0)
+    first = jnp.logical_or(g == 0, srb[g] != srb[jnp.maximum(g - 1, 0)])
+
+    @pl.when(first)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+        accf_ref[:] = jnp.zeros_like(accf_ref)
+
+    is_tile = skind[g] == 0
+
+    @pl.when(is_tile)
+    def _():
+        a = a_ref[0]  # int8, unsigned grid shifted by -128
+        h = h_ref[:]  # int8, signed grid
+        mm = jax.lax.dot_general(
+            a, h, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        corr = 128 * jnp.sum(h.astype(jnp.int32), axis=0, keepdims=True)
+        acc_ref[:] += mm + corr
+
+    @pl.when(jnp.logical_not(is_tile))
+    def _():
+        l = lrow_ref[0, 0:1, :]  # [1, K] f32 local rows
+        v = vrow_ref[0, 0:1, :]  # [1, K] f32 quantized edge values
+        iota = jax.lax.broadcasted_iota(jnp.int32, (tb, K), 0).astype(
+            jnp.float32
+        )
+        oh = (iota == l).astype(jnp.bfloat16) * v.astype(jnp.bfloat16)
+        gq = g_ref[0].astype(jnp.bfloat16)  # int8 rows, exact in bf16
+        accf_ref[:] += jax.lax.dot_general(
+            oh, gq, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    last = jnp.logical_or(g == S - 1, srb[g + 1] != srb[g])
+
+    @pl.when(last)
+    def _():
+        out_ref[:] = acc_ref[:] + accf_ref[:].astype(jnp.int32)
+
+
+def bsr_spmm_int8_fused(
+    plan: FusedAggPlan, Hq: jax.Array, *, interpret: bool | None = None
+) -> jax.Array:
+    """Full-integer ``Aq @ Hq`` for a HYBRID split: shifted-int8 dense
+    tiles + quantized remainder chunks, one fused schedule (the int8
+    counterpart of bsr_spmm_fused — the capability that makes
+    full-integer inference possible at the 2^20+ scale, where a full-
+    adjacency int8 tile set is tens of GB but the hybrid one fits).
+
+    ``plan``: value-mode FusedAggPlan (quant/int8.prepare_int8_hybrid)
+    whose B holds SHIFTED int8 tiles and whose slot scales are the
+    remainder's quantized (unsigned-grid) values. ``Hq``: signed int8
+    [N, P]. Returns the exact int32 accumulator [n_rows, P]."""
+    B = plan.B
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    tb, K = B.tb, plan.K
+    n_ct = _round_up(B.n_cols, tb) // tb
+    n_rt = B.n_row_tiles
+    P = Hq.shape[1]
+    assert plan.colscale is None, "int8 schedule must be value-mode"
+
+    G = jnp.take(Hq, plan.slot_col, axis=0).reshape(
+        plan.num_chunks, K, P
+    )
+    vrow = jnp.broadcast_to(
+        plan.slot_scale.reshape(plan.num_chunks, 1, K),
+        (plan.num_chunks, 8, K),
+    )
+    if Hq.shape[0] != n_ct * tb:
+        Hq = jnp.pad(Hq, ((0, n_ct * tb - Hq.shape[0]), (0, 0)))
+
+    in_specs = [
+        pl.BlockSpec(
+            (1, tb, tb), lambda g, rb, cb, ti, ch, kd: (ti[g], 0, 0)
+        ),
+        pl.BlockSpec((tb, P), lambda g, rb, cb, ti, ch, kd: (cb[g], 0)),
+        pl.BlockSpec((1, K, P), lambda g, rb, cb, ti, ch, kd: (ch[g], 0, 0)),
+        pl.BlockSpec((1, 8, K), lambda g, rb, cb, ti, ch, kd: (ch[g], 0, 0)),
+        pl.BlockSpec((1, 8, K), lambda g, rb, cb, ti, ch, kd: (ch[g], 0, 0)),
+    ]
+    operands = [B.tiles, Hq, G, plan.lrow, vrow]
+    S = plan.num_steps
+    slices = plan.slices
+    if len(slices) == 1 and slices[0][1] in (-1, S):
+        slices = ((0, S, 0, n_rt),)
+
+    def _call(lo, hi, rb_lo, rb_hi):
+        frac = (hi - lo) / S
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=5,
+            grid=(hi - lo,),
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec(
+                (tb, P), lambda g, rb, cb, ti, ch, kd: (rb[g] - rb_lo, 0)
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((tb, P), jnp.int32),
+                pltpu.VMEM((tb, P), jnp.float32),
+            ],
+        )
+        return pl.pallas_call(
+            _functools.partial(_fused_int8_kernel, tb=tb, K=K),
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct(
+                ((rb_hi - rb_lo) * tb, P), jnp.int32
+            ),
+            interpret=interpret,
+            cost_estimate=pl.CostEstimate(
+                flops=int(
+                    frac
+                    * (
+                        2 * B.num_tiles * tb * tb * P
+                        + 2 * plan.num_chunks * tb * K * P
+                    )
+                ),
+                bytes_accessed=int(
+                    frac
+                    * (
+                        B.num_tiles * (tb * tb + tb * P)
+                        + plan.num_chunks * K * P
+                    )
+                    + (rb_hi - rb_lo) * tb * P * 4
+                ),
+                transcendentals=0,
+            ),
+        )(
+            plan.step_rb[lo : hi + 1],
+            plan.step_cb[lo:hi],
+            plan.step_tile[lo:hi],
+            plan.step_chunk[lo:hi],
+            plan.step_kind[lo:hi],
+            *operands,
+        )
+
+    parts = [_call(*sl) for sl in slices]
+    out = parts[0] if len(parts) == 1 else jnp.concatenate(parts)
+    return out[: B.n_rows]

@@ -509,3 +509,59 @@ def int8_gat_layer_flash(
         B, s1 * sc, s2 * sc, h_q.astype(jnp.float32), alpha=layer.alpha
     )[: xs.shape[0]]
     return out, layer.s_h
+
+
+# ------------------------------------------------- hybrid int8 at scale
+
+
+def prepare_int8_hybrid(A, c_a: QuantConstants, *, tb: int = 1024,
+                        K: int = 128):
+    """Full-integer aggregation plan for LARGE graphs: hybrid density
+    split with shifted-int8 dense tiles + quantized remainder chunks in
+    one fused schedule (ops/fused_agg.bsr_spmm_int8_fused).
+
+    This is what makes the reference's quantized engine capability
+    (sgrace.py:334-365) runnable at the 2^20+ scale: the full-adjacency
+    int8 tile set (Int8GCN2Sparse's a_bsr) is ~21 GB at 1M nodes, while
+    the hybrid dense part is ~2.4 GB and the remainder rides value-
+    carrying one-hot chunks. Returns a value-mode FusedAggPlan whose
+    slot scales are the remainder's unsigned-grid quantized values.
+    """
+    from sgracex1_tpu.ops.bsr import bsr_tile_keys
+    from sgracex1_tpu.ops.dispatch import (
+        _REST_CHUNK_S,
+        _REST_K,
+        _REST_SLOT_S,
+        _tile_cost_s,
+        split_by_tile_density,
+    )
+    from sgracex1_tpu.ops.fused_agg import build_fused_plan
+
+    thresh = int(
+        np.ceil(
+            _tile_cost_s(tb, 1.0)
+            / (_REST_SLOT_S + _REST_CHUNK_S / _REST_K)
+        )
+    )
+    part, rest = split_by_tile_density(A, tb, thresh)
+    B8 = bsr_int8_from_sparse(
+        part, c_a, tb=tb, cover_cols=True
+    )
+    rest_q = None
+    if rest.nnz:
+        rv = np.asarray(rest.vals)
+        aq = np.clip(np.round(rv / c_a.s + c_a.z), 0, c_a.beta_q).astype(
+            np.float32
+        )
+        rest_q = rest.with_vals(aq)
+    return build_fused_plan(
+        B8, rest_q, K=K,
+        tile_keys=bsr_tile_keys(part, tb, cover_rows=True, cover_cols=True),
+    )
+
+
+def int8_hybrid_agg(plan, Hq: jax.Array) -> jax.Array:
+    """Exact int32 ``Aq @ Hq`` on the hybrid full-integer plan."""
+    from sgracex1_tpu.ops.fused_agg import bsr_spmm_int8_fused
+
+    return bsr_spmm_int8_fused(plan, Hq)

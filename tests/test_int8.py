@@ -289,3 +289,52 @@ def test_int8_gat_flash_close_to_edge_path(rng):
 
     denom = np.abs(out_e).max() + 1e-9
     assert np.abs(out_f - out_e).max() / denom < 0.03
+
+
+def test_int8_hybrid_fused_exact(rng):
+    """Hybrid full-integer aggregation (shifted-int8 tiles + quantized
+    remainder chunks in one fused schedule) is EXACT integer math — the
+    capability that runs the quantized engine at 2^20+ scale where a
+    full-adjacency int8 tile set cannot fit."""
+    import scipy.sparse as sp
+
+    from sgracex1_tpu.graph.csr import SparseMatrix
+    from sgracex1_tpu.ops.dispatch import split_by_tile_density
+
+    n, f = 1600, 64
+    # dense hub block + scattered tail -> a real hybrid split at tb=128
+    mat = sp.random(n, n, density=0.001, format="lil",
+                    random_state=11).astype(np.float32)
+    mat[:256, :256] = rng.uniform(0.1, 1.0, (256, 256)).astype(np.float32)
+    mat = mat.tocsr()
+    A = SparseMatrix.from_scipy(mat)
+    c_a = _uc(1.0)
+    plan = qi8.prepare_int8_hybrid(A, c_a, tb=128, K=128)
+    assert plan.num_rest_chunks > 0  # the tail must hit the chunk path
+
+    X = rng.uniform(0, 1, (n, f)).astype(np.float32)
+    xs = qi8.quantize_unsigned_shifted(jnp.asarray(X), _uc(1.0))
+    acc = np.asarray(qi8.int8_hybrid_agg(plan, xs))[:n]
+
+    # exact integer reference
+    v = np.asarray(A.vals[: A.nnz])
+    aq = np.clip(np.round(v / c_a.s + c_a.z), 0, c_a.beta_q)
+    r = np.asarray(A.rows[: A.nnz])
+    c = np.asarray(A.cols[: A.nnz])
+    mat_q = sp.coo_matrix((aq, (r, c)), shape=(n, n)).tocsr()
+    expect = mat_q @ np.asarray(xs, dtype=np.int64)
+    np.testing.assert_array_equal(acc, expect)
+
+    # sliced schedules stay exact too
+    import sgracex1_tpu.ops.fused_agg as fa
+
+    if plan.num_steps > 6:
+        orig = fa._MAX_STEPS
+        try:
+            fa._MAX_STEPS = 6
+            slices_plan = qi8.prepare_int8_hybrid(A, c_a, tb=128, K=128)
+        finally:
+            fa._MAX_STEPS = orig
+        assert len(slices_plan.slices) > 1
+        acc2 = np.asarray(qi8.int8_hybrid_agg(slices_plan, xs))[:n]
+        np.testing.assert_array_equal(acc2, expect)
