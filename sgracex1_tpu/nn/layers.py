@@ -30,7 +30,10 @@ from flax import linen as nn
 from sgracex1_tpu.graph.csr import SparseMatrix
 from sgracex1_tpu.ops.spmm import spmm
 from sgracex1_tpu.ops.sddmm import sddmm, leaky_relu, edge_softmax
-from sgracex1_tpu.ops.flash_gat import gat_attention_agg_fused
+from sgracex1_tpu.ops.flash_gat import (
+    gat_attention_agg_fused,
+    gat_attention_agg_hybrid,
+)
 from sgracex1_tpu.ops.fused_gnn import relu_hw, gnn_layer_quant_backward
 from sgracex1_tpu.ops.dispatch import (
     PreparedAdjacency,
@@ -230,12 +233,23 @@ class GATConv(nn.Module, _AmaxMixin):
             isinstance(A, PreparedAdjacency) and A.flash_tiles is not None
         )
         if use_flash:
-            # fully fused fwd+bwd, ALL heads in one kernel per pass: both
-            # directions stream BSR tiles through the MXU; no per-edge
-            # gather in the training step
-            out = gat_attention_agg_fused(
-                A.flash_tiles, S1, S2, Wh_heads, self.alpha
-            ).reshape(-1, F * H)
+            if A.gat_rest is not None:
+                # hybrid attention split (power-law scale): dense tiles
+                # through the flash kernel, remainder edges through the
+                # streaming softmax, merged via the block-combine
+                # identity — exact row softmax, fused fwd+bwd on the
+                # tile population
+                out = gat_attention_agg_hybrid(
+                    A.flash_tiles, A.gat_rest, S1, S2, Wh_heads,
+                    self.alpha,
+                ).reshape(-1, F * H)
+            else:
+                # fully fused fwd+bwd, ALL heads in one kernel per pass:
+                # both directions stream BSR tiles through the MXU; no
+                # per-edge gather in the training step
+                out = gat_attention_agg_fused(
+                    A.flash_tiles, S1, S2, Wh_heads, self.alpha
+                ).reshape(-1, F * H)
         else:
             # batched edge path: heads ride the vector lanes ([E, H])
             e_all = leaky_relu(

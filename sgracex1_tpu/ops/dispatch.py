@@ -78,6 +78,11 @@ class PreparedAdjacency:
     # tiles GATConv's flash path reads — always the FULL adjacency)
     rest: Optional[SparseMatrix] = None
     gat_bsr: Optional[BSRMatrix] = None
+    # hybrid flash-attention split: edges NOT covered by gat_bsr's dense
+    # tiles. When present, GATConv merges the flash-kernel tiles with the
+    # edge-path remainder via the softmax block-combine identity
+    # (ops/flash_gat.gat_attention_agg_hybrid).
+    gat_rest: Optional[SparseMatrix] = None
     # rank-1 adjacency factorization (graph/normalize.rank1_factor): when
     # set, bsr/bsr_t hold exact int8 {0,1} MASK tiles and
     # A @ H == r1_row * (M @ (r1_col * H)) + rest @ H — half the tile HBM
@@ -242,37 +247,93 @@ def split_by_tile_density(
 # at the measured VPU peaks — ~287 G elements/s; validates against pubmed
 # tb=1024 0.72 ms/184 tiles and 2^20 tb=1024 88.4 ms/21108 tiles)
 _FLASH_ELT_S = 3.5e-12
+# measured packed-tile penalty: the [tb, tb] VPU unpack of 1-bit masks
+# adds ~7% per tile (r3, pubmed packed 0.77 vs int8 0.72 ms)
+_FLASH_PACKED_MULT = 1.07
 # int8 full-adjacency mask budget before falling back to 1-bit packed
 # tb=1024 tiles (packing needs tb/8 lane-aligned, so only 1024 packs)
 _FLASH_TILE_BUDGET = 4 << 30
+# hybrid flash split: per-remainder-edge seconds on the streaming edge
+# softmax (3 narrow segment reductions + one [E, F] gather/scatter pair —
+# the scatter is the wall, ~28-50 ns/edge at 2^20 rows) and the fixed
+# cost of the ~15 extra XLA ops of the stats merge
+_FLASH_EDGE_S = 60e-9
+_FLASH_HYBRID_FIXED_S = 50e-6
 
 
 def _choose_flash_tb(A: SparseMatrix, n: int) -> tuple[int, bool]:
-    """(tb, packed) for the flash-GAT mask tiles, by the measured model
-    ``T(tb) * (tb^2 * elt + step)`` over this graph's ACTUAL tile
-    populations.
+    """(tb, packed) for FULL-cover flash-GAT mask tiles (legacy entry —
+    prepare_adjacency uses _choose_flash_plan, which also considers the
+    hybrid tile/edge split)."""
+    tb, packed, _ = _choose_flash_plan(A, n, hybrid=False)
+    return tb, packed
+
+
+def _choose_flash_plan(
+    A: SparseMatrix, n: int, *, hybrid: bool = True
+) -> tuple[int, bool, Optional[int]]:
+    """(tb, packed, rest_thresh) for the flash-GAT attention path, by the
+    measured model ``T(tb) * (tb^2 * elt + step)`` over this graph's
+    ACTUAL tile populations.
 
     The balance flips with scale: at pubmed (184 tb=1024 tiles) the
     0.5 us grid-step overhead dominates and big tiles win (0.72 ms vs
     1.02 at tb=512, r3); at 2^20 nodes the dead-lane VPU work dominates
-    and tb=256 wins (51.9 vs 88.4 ms, r4 measured). int8 masks are used
-    while they fit _FLASH_TILE_BUDGET; past that, 1-bit packed tb=1024
-    (8x the capacity, ~7% slower per tile)."""
+    and the HYBRID split wins — only tiles holding >= rest_thresh edges
+    (one tile of score math vs their edges on the edge path) stay dense,
+    the rest ride the streaming edge softmax merged via the block-combine
+    identity (gat_attention_agg_hybrid). ``rest_thresh`` None = full
+    cover. Packed tb=1024 is a real candidate with its measured ~7%
+    unpack penalty, not just the over-budget fallback; int8 candidates
+    must fit _FLASH_TILE_BUDGET (packed: 1/8 of it)."""
     if n <= 8192:
-        return 256, False
+        return 256, False, None
     r = np.asarray(A.rows[: A.nnz]).astype(np.int64)
     c = np.asarray(A.cols[: A.nnz]).astype(np.int64)
-    best = None
+    best = None  # (est, tb, packed, thresh)
     for tb in (256, 512, 1024):
-        T = len(np.unique((r // tb) << 32 | (c // tb)))
-        est = T * (tb * tb * _FLASH_ELT_S + _STEP_S)
-        if T * tb * tb <= _FLASH_TILE_BUDGET and (
-            best is None or est < best[0]
-        ):
-            best = (est, tb)
+        keys = (r // tb) << 32 | (c // tb)
+        uniq, counts = np.unique(keys, return_counts=True)
+        T = len(uniq)
+        for packed in ((False, True) if tb == 1024 else (False,)):
+            tile_bytes = tb * tb / (8.0 if packed else 1.0)
+            tc = tb * tb * _FLASH_ELT_S * (
+                _FLASH_PACKED_MULT if packed else 1.0
+            ) + _STEP_S
+            if T * tile_bytes <= _FLASH_TILE_BUDGET:
+                est = T * tc
+                if best is None or est < best[0]:
+                    best = (est, tb, packed, None)
+            if not hybrid:
+                continue
+            # hybrid split at this tile size: a tile stays dense iff its
+            # edges cost more on the edge path than one tile of score
+            # math; uncovered row/col blocks add one zero cover tile each
+            # (every output row block and dWh column block must be
+            # written by some tile)
+            thresh = max(2, int(np.ceil(tc / _FLASH_EDGE_S)))
+            dense = counts >= thresh
+            T_d = int(dense.sum())
+            if T_d == 0:
+                continue
+            n_rt = -(-A.n_rows // tb)
+            n_ct = -(-A.n_cols // tb)
+            cover = (n_rt - len(np.unique((uniq >> 32)[dense]))) + (
+                n_ct - len(np.unique((uniq & 0xFFFFFFFF)[dense]))
+            )
+            e_rest = int(counts[~dense].sum())
+            est_h = (
+                (T_d + cover) * tc
+                + e_rest * _FLASH_EDGE_S
+                + _FLASH_HYBRID_FIXED_S
+            )
+            if (T_d + cover) * tile_bytes <= _FLASH_TILE_BUDGET and (
+                best is None or est_h < best[0]
+            ):
+                best = (est_h, tb, packed, thresh)
     if best is None:
-        return 1024, True  # nothing fits as int8: packed capacity mode
-    return best[1], False
+        return 1024, True, None  # nothing fits as int8: packed capacity
+    return best[1], best[2], best[3]
 
 
 def _drop_zero_val_edges(M: SparseMatrix) -> SparseMatrix:
@@ -378,11 +439,27 @@ def prepare_adjacency(
                 bsr_mask_from_sparse,
             )
 
-            gat_tb, use_packed = _choose_flash_tb(A, n)
-            if use_packed:
-                tiles = bsr_bitmask_from_sparse(A, tb=gat_tb)
-            else:
-                tiles = bsr_mask_from_sparse(A, tb=gat_tb)
+            gat_tb, use_packed, gat_thresh = _choose_flash_plan(A, n)
+            build = (
+                bsr_bitmask_from_sparse if use_packed
+                else bsr_mask_from_sparse
+            )
+            if gat_thresh is not None:
+                # hybrid attention split: dense tiles cover every row AND
+                # column block (flash output / dWh blocks must all be
+                # written); the remainder rides the edge softmax merged
+                # via the block-combine identity
+                part, grest = split_by_tile_density(A, gat_tb, gat_thresh)
+                if part.nnz and grest.nnz:
+                    tiles = build(
+                        part, tb=gat_tb, cover_rows=True, cover_cols=True
+                    )
+                    return dataclasses.replace(
+                        prep,
+                        gat_bsr=jax.device_put(tiles),
+                        gat_rest=jax.device_put(grest),
+                    )
+            tiles = build(A, tb=gat_tb)
             return dataclasses.replace(
                 prep, gat_bsr=jax.device_put(tiles)
             )

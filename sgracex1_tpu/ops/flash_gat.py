@@ -959,7 +959,8 @@ gat_attention_agg_fused.defvjp(_gat_agg_fused_fwd, _gat_agg_fused_bwd)
 
 
 def _halo_gat_forward(
-    B, s1, s2, s2h, Wh, halo, rows_rem, cols_halo, mask_rem, alpha
+    B, s1, s2, s2h, Wh, halo, rows_rem, cols_halo, mask_rem, alpha,
+    edges_sorted: bool = False,
 ):
     """One shard's GAT row softmax over local tiles + remote (halo) edges.
 
@@ -972,7 +973,9 @@ def _halo_gat_forward(
         m = max(m_l, m_r);  l = l_l*e^{m_l-m} + l_r*e^{m_r-m}
         out = (acc_l*e^{m_l-m} + acc_r*e^{m_r-m}) / l
 
-    which is exactly the row softmax over all edges. Returns
+    which is exactly the row softmax over all edges. ``edges_sorted``
+    marks ``rows_rem`` as non-decreasing — the segment reductions take
+    XLA's sorted-scatter fast path (~2.5x at 2^20 rows). Returns
     (out [nl, H, F], merged stats (m, l) [nl, H]).
     """
     nl = B.n_rows
@@ -986,14 +989,19 @@ def _halo_gat_forward(
     e = jnp.take(s1, rows_rem, axis=0) + jnp.take(s2h, cols_halo, axis=0)
     e = jnp.maximum(e, alpha * e)
     e = jnp.where(mask, e, _MASKED)
-    m_r = jax.ops.segment_max(e, rows_rem, num_segments=nl)
+    m_r = jax.ops.segment_max(
+        e, rows_rem, num_segments=nl, indices_are_sorted=edges_sorted
+    )
     m_r = jnp.maximum(m_r, _M_INIT)  # empty rows: -inf -> sentinel
     ex = jnp.where(mask, jnp.exp(e - jnp.take(m_r, rows_rem, axis=0)), 0.0)
-    l_r = jax.ops.segment_sum(ex, rows_rem, num_segments=nl)
+    l_r = jax.ops.segment_sum(
+        ex, rows_rem, num_segments=nl, indices_are_sorted=edges_sorted
+    )
     acc_r = jax.ops.segment_sum(
         jnp.take(halo, cols_halo, axis=0) * ex[..., None],
         rows_rem,
         num_segments=nl,
+        indices_are_sorted=edges_sorted,
     )
 
     m = jnp.maximum(m_l, m_r)
@@ -1007,9 +1015,10 @@ def _halo_gat_forward(
     return out, m, l
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(9,))
+@partial(jax.custom_vjp, nondiff_argnums=(9, 10))
 def flash_gat_halo_agg(
-    B, s1, s2, s2h, Wh, halo, rows_rem, cols_halo, mask_rem, alpha=0.2
+    B, s1, s2, s2h, Wh, halo, rows_rem, cols_halo, mask_rem, alpha=0.2,
+    edges_sorted: bool = False,
 ):
     """Differentiable shard-local GAT aggregation over local BSR tiles plus
     halo edges — fused flash kernels in BOTH directions, with the softmax
@@ -1034,25 +1043,27 @@ def flash_gat_halo_agg(
     if squeeze:
         s2h, halo = s2h[:, None], halo[:, None, :]
     out, _, _ = _halo_gat_forward(
-        B, s1, s2, s2h, Wh, halo, rows_rem, cols_halo, mask_rem, alpha
+        B, s1, s2, s2h, Wh, halo, rows_rem, cols_halo, mask_rem, alpha,
+        edges_sorted,
     )
     return out[:, 0, :] if squeeze else out
 
 
 def _halo_agg_fwd(B, s1, s2, s2h, Wh, halo, rows_rem, cols_halo, mask_rem,
-                  alpha):
+                  alpha, edges_sorted):
     squeeze = s1.ndim == 1
     s1n, s2n, Whn, _ = _norm_heads(s1, s2, Wh)
     s2hn, halon = (s2h[:, None], halo[:, None, :]) if squeeze else (s2h, halo)
     out, m, l = _halo_gat_forward(
-        B, s1n, s2n, s2hn, Whn, halon, rows_rem, cols_halo, mask_rem, alpha
+        B, s1n, s2n, s2hn, Whn, halon, rows_rem, cols_halo, mask_rem, alpha,
+        edges_sorted,
     )
     res = (B, s1n, s2n, s2hn, Whn, halon, rows_rem, cols_halo, mask_rem,
            m, l, squeeze)
     return (out[:, 0, :] if squeeze else out), res
 
 
-def _halo_agg_bwd(alpha, res, g_out):
+def _halo_agg_bwd(alpha, edges_sorted, res, g_out):
     (B, s1, s2, s2h, Wh, halo, rows_rem, cols_halo, mask_rem, m, l,
      squeeze) = res
     interpret = jax.default_backend() != "tpu"
@@ -1092,9 +1103,18 @@ def _halo_agg_bwd(alpha, res, g_out):
         jnp.take(g_out, rows_rem, axis=0) * jnp.take(halo, cols_halo, axis=0),
         axis=-1,
     )  # [E, H]
-    t_r = jax.ops.segment_sum(p_r * q_r, rows_rem, num_segments=nl)
-    u1_r = jax.ops.segment_sum(p_r * q_r * lr, rows_rem, num_segments=nl)
-    u2_r = jax.ops.segment_sum(p_r * lr, rows_rem, num_segments=nl)
+    t_r = jax.ops.segment_sum(
+        p_r * q_r, rows_rem, num_segments=nl,
+        indices_are_sorted=edges_sorted,
+    )
+    u1_r = jax.ops.segment_sum(
+        p_r * q_r * lr, rows_rem, num_segments=nl,
+        indices_are_sorted=edges_sorted,
+    )
+    u2_r = jax.ops.segment_sum(
+        p_r * lr, rows_rem, num_segments=nl,
+        indices_are_sorted=edges_sorted,
+    )
 
     t = t_l[:nl] + t_r
     ds1 = (u1_l[:nl] + u1_r) - t * (u2_l[:nl] + u2_r)
@@ -1128,6 +1148,45 @@ def _halo_agg_bwd(alpha, res, g_out):
 
 
 flash_gat_halo_agg.defvjp(_halo_agg_fwd, _halo_agg_bwd)
+
+
+def gat_attention_agg_hybrid(
+    B: BSRMatrix,
+    rest: SparseMatrix,
+    s1: jax.Array,
+    s2: jax.Array,
+    Wh: jax.Array,
+    alpha: float = 0.2,
+):
+    """Single-chip HYBRID flash GAT: dense adjacency tiles through the
+    flash kernel, remainder (sparse-tile) edges through the streaming
+    edge softmax, merged with the softmax block-combine identity — ONE
+    exact row softmax over all edges, differentiable end to end.
+
+    The full-cover flash kernel pays a whole ``tb x tb`` score tile per
+    nonempty tile; on ultra-sparse power-law graphs most tiles hold a
+    handful of edges (0.13% occupancy at 2^20 nodes), so attention ran
+    6.5x slower than the same graph's GCN aggregation. This is the
+    attention analogue of the GCN hybrid split (ops/dispatch
+    split_by_tile_density): ``B`` holds only the tiles dense enough that
+    one tile of score math beats their edges on the edge path
+    (cover_rows/cover_cols=True — every output row and dWh column block
+    must be written), ``rest`` holds the rest. The reference engine pays
+    exactly one pipeline slot per real edge
+    (kernelMatrixmult_all.cpp:2009-2048); this recovers that economics
+    for attention at scale.
+
+    Implementation: exactly ``flash_gat_halo_agg`` with the shard's
+    "remote" population aliased to the local one (s2h = s2, halo = Wh) —
+    JAX sums the fan-in cotangents, so the backward needs nothing new.
+    Padded rest entries carry val 0 -> masked out.
+    """
+    mask = rest.vals[: rest.nnz] > 0
+    return flash_gat_halo_agg(
+        B, s1, s2, s2, Wh, Wh,
+        rest.rows[: rest.nnz], rest.cols[: rest.nnz], mask,
+        alpha, rest.rows_sorted,
+    )
 
 
 def gat_attention_agg_ref(A: SparseMatrix, s1, s2, Wh, alpha=0.2):

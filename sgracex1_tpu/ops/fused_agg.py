@@ -308,6 +308,91 @@ def build_fused_plan(
     )
 
 
+def pad_fused_plan(
+    plan: FusedAggPlan, *, S: int, T: int, R: int, K: int
+) -> FusedAggPlan:
+    """Pad a fused schedule to sticky maxima so re-prepared sampled
+    batches keep ONE traced shape (the fused analogue of
+    ops/bsr.pad_bsr_tile_count; train/loop._pad_prep_tiles drives it).
+
+    Every padding dimension is a no-op by construction:
+
+    - tiles pad with all-zero tiles (never referenced by any step);
+    - chunk slots pad with the sentinel local row ``tb`` (the one-hot
+      matches no output row) and zero scale/col;
+    - K widens with dead slots per chunk (the slot layout is [R, K]);
+    - schedule steps pad with CHUNK steps pointing at a dead chunk and
+      revisiting the last row-block run — they add zero to the resident
+      accumulator, and the run's output write just moves to the final
+      padding step (same accumulator, same row scale).
+
+    Single-slice schedules only (sampled batches sit far below the
+    _MAX_STEPS SMEM cap); multi-slice plans raise."""
+    from sgracex1_tpu.ops.bsr import pad_bsr_tile_count
+
+    S0, T0 = plan.num_steps, plan.B.num_tiles
+    R0, K0 = plan.num_chunks, plan.K
+    if (S, T, R, K) == (S0, T0, R0, K0):
+        return plan
+    if not (S >= S0 and T >= T0 and R >= R0 and K >= K0):
+        raise ValueError(
+            f"pad_fused_plan targets must dominate: have "
+            f"{(S0, T0, R0, K0)}, asked {(S, T, R, K)}"
+        )
+    eff = plan.slices
+    if len(eff) > 1:
+        raise ValueError("cannot pad a multi-slice fused schedule")
+    # contract: padding steps point at chunk row R-1, which must be DEAD
+    # (all-sentinel lrow). Guaranteed whenever R exceeds the plan's true
+    # chunk count — K/R padding below fills new rows with the sentinel,
+    # and _pad_prep_tiles' sticky targets always keep one extra row.
+    # (num_rest_chunks cannot express this for re-padded plans: padding
+    # steps count as chunk steps there.)
+    tb = plan.B.tb
+    n_rt = plan.B.n_row_tiles
+
+    lrow = plan.lrow
+    slot_col = plan.slot_col.reshape(R0, K0)
+    slot_scale = plan.slot_scale.reshape(R0, K0)
+    if K > K0:
+        lrow = jnp.pad(lrow, ((0, 0), (0, 0), (0, K - K0)),
+                       constant_values=float(tb))
+        slot_col = jnp.pad(slot_col, ((0, 0), (0, K - K0)))
+        slot_scale = jnp.pad(slot_scale, ((0, 0), (0, K - K0)))
+    if R > R0:
+        lrow = jnp.pad(lrow, ((0, R - R0), (0, 0), (0, 0)),
+                       constant_values=float(tb))
+        slot_col = jnp.pad(slot_col, ((0, R - R0), (0, 0)))
+        slot_scale = jnp.pad(slot_scale, ((0, R - R0), (0, 0)))
+
+    def _pad_steps(a, value):
+        return jnp.concatenate(
+            [a, jnp.full((S - S0,), value, a.dtype)]
+        ) if S > S0 else a
+
+    last_rb = plan.step_rb[S0 - 1]
+    step_rb = plan.step_rb[:S0]
+    step_rb = jnp.concatenate([
+        step_rb,
+        jnp.broadcast_to(last_rb, (S - S0,)).astype(step_rb.dtype),
+        plan.step_rb[S0:],  # the n_rt sentinel stays terminal
+    ])
+    return dataclasses.replace(
+        plan,
+        B=pad_bsr_tile_count(plan.B, T),
+        step_rb=step_rb,
+        step_cb=_pad_steps(plan.step_cb, plan.step_cb[S0 - 1]),
+        step_tile=_pad_steps(plan.step_tile, plan.step_tile[S0 - 1]),
+        step_chunk=_pad_steps(plan.step_chunk, R - 1),
+        step_kind=_pad_steps(plan.step_kind, 1),
+        lrow=lrow,
+        slot_col=slot_col.reshape(R * K),
+        slot_scale=slot_scale.reshape(R * K),
+        K=K,
+        slices=((0, S, 0, n_rt),),
+    )
+
+
 def _fused_kernel(
     srb, scb, stile, schunk, skind,
     a_ref, h_ref, g_ref, lrow_ref, *scale_refs,

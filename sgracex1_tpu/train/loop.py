@@ -69,21 +69,28 @@ def _prepare_backend(A: SparseMatrix, cfg: SGRACEConfig, model, prepare):
 
 
 def _pad_prep_tiles(
-    prep: PreparedAdjacency, sticky: dict, *, drop_fused: bool = False
+    prep: PreparedAdjacency, sticky: dict
 ) -> PreparedAdjacency:
-    """Sticky tile-count padding across re-prepared graphs (sampled
-    batches): grows each tile plan to the largest count seen so far so
-    the jitted step keeps one traced shape (pad_bsr_tile_count).
+    """Sticky shape padding across re-prepared graphs (sampled batches)
+    so the jitted step keeps one traced shape:
 
-    ``drop_fused`` (the fresh-graphs-per-epoch sampled loop) additionally
-    drops bsr-kind preps' fused schedules: the fused plan's step/chunk
-    arrays (and static slices) vary per graph, which would defeat the
-    padding — the padded tiles run the older _bsr_agg_scaled path
-    instead (same math, stable shapes). Hybrid preps cannot be
-    shape-stabilized at all (the rest edge count is a static slice
-    bound) and retrace per batch — the cost model only picks hybrid well
-    past sampled-batch sizes."""
+    - tile plans grow to the largest count seen (pad_bsr_tile_count);
+    - FUSED schedules grow to sticky (steps, tiles, chunks, K) maxima
+      (ops/fused_agg.pad_fused_plan) — the flagship one-pass kernel runs
+      in the sampled product path too (r4 dropped it here);
+    - the hybrid ``rest``/``gat_rest`` edge lists pad to a sticky edge
+      count with uniform nnz. ``gat_rest`` stays (the flash-hybrid
+      wrapper is mask-driven, so padding edges with val 0 are inert);
+      ``rest`` is DROPPED whenever the fused plans carry its edges in
+      their slot arrays — its only runtime reader (_bsr_agg_scaled)
+      scatters unit values over rows[:nnz] and cannot tolerate uniform
+      nnz, and a varying true nnz is static metadata that would retrace.
+
+    Multi-slice fused schedules (beyond the SMEM step cap — far past
+    sampled-batch sizes) cannot be padded and are dropped with a
+    warning."""
     from sgracex1_tpu.ops.bsr import pad_bsr_tile_count
+    from sgracex1_tpu.ops.fused_agg import pad_fused_plan
 
     updates = {}
     for f in ("bsr", "bsr_t", "gat_bsr"):
@@ -94,13 +101,67 @@ def _pad_prep_tiles(
         sticky[key] = max(sticky.get(key, 0), B.num_tiles)
         if sticky[key] > B.num_tiles:
             updates[f] = pad_bsr_tile_count(B, sticky[key])
-    # dropped for EVERY batch (not just padded ones) so the step's traced
-    # pytree structure is identical from batch 1 onward. Static-batch
-    # loops (graph-cls, PPI) keep the fused plans: their per-graph trace
-    # amortizes over every epoch.
-    if drop_fused and prep.kind == "bsr" and prep.fused is not None:
-        updates["fused"] = None
-        updates["fused_t"] = None
+    for f, bf in (("fused", "bsr"), ("fused_t", "bsr_t")):
+        plan = getattr(prep, f)
+        if plan is None:
+            continue
+        if len(plan.slices) > 1:
+            import warnings
+
+            warnings.warn(
+                "sampled-loop prep has a multi-slice fused schedule — "
+                "dropping it for trace stability (tile aggregation runs "
+                "the bsr/rest composition instead)",
+                stacklevel=2,
+            )
+            updates[f] = None
+            continue
+        key = (f, plan.B.tb)
+        S, T, R, K = (
+            plan.num_steps, plan.B.num_tiles, plan.num_chunks, plan.K
+        )
+        prev = sticky.get(key, (0, 0, 0, 0))
+        # R target keeps one dead chunk beyond any TRUE chunk count for
+        # step padding; `R <= prev` means the plan is already at (or
+        # below) the sticky target — re-padding must not ratchet it up
+        tgt = (
+            max(prev[0], S),
+            max(prev[1], T, sticky.get((bf, plan.B.tb), 0)),
+            prev[2] if R <= prev[2] else R + 1,
+            max(prev[3], K),
+        )
+        sticky[key] = tgt
+        updates[f] = pad_fused_plan(
+            plan, S=tgt[0], T=tgt[1], R=tgt[2], K=tgt[3]
+        )
+    if (
+        updates.get("fused", prep.fused) is not None
+        and prep.rest is not None
+    ):
+        updates["rest"] = None  # edges live in the fused slot arrays
+    if prep.gat_rest is not None:
+        # device-side padding (np-based pad_edges_to would pull the
+        # arrays back through the TPU relay); uniform nnz is safe here
+        # because the flash-hybrid wrapper gates every edge on val > 0
+        g = prep.gat_rest
+        key = "gat_rest_pad"
+        sticky[key] = max(sticky.get(key, 0), g.e_pad)
+        pad = sticky[key] - g.e_pad
+        if pad or g.nnz != g.e_pad:
+            updates["gat_rest"] = dataclasses.replace(
+                g,
+                rows=jnp.concatenate([
+                    g.rows,
+                    jnp.full((pad,), max(0, g.n_rows - 1), g.rows.dtype),
+                ]),
+                cols=jnp.concatenate(
+                    [g.cols, jnp.zeros((pad,), g.cols.dtype)]
+                ),
+                vals=jnp.concatenate(
+                    [g.vals, jnp.zeros((pad,), g.vals.dtype)]
+                ),
+                nnz=sticky[key],
+            )
     return dataclasses.replace(prep, **updates) if updates else prep
 
 
@@ -293,7 +354,7 @@ def train_node_classifier_sampled(
             rng, drng = jax.random.split(rng)
             bA = _prepare_backend(b.A.device(), cfg, model, prepare)
             if isinstance(bA, PreparedAdjacency):
-                bA = _pad_prep_tiles(bA, tile_pads, drop_fused=True)
+                bA = _pad_prep_tiles(bA, tile_pads)
             state, loss = step(
                 state,
                 bA,

@@ -328,6 +328,127 @@ def test_halo_agg_vjp_matches_autodiff(rng):
         )
 
 
+def _hybrid_pieces(rng, n=420, density=0.02, tb=64, thresh=95):
+    """Random graph split by tile density into (covered mask tiles, rest)
+    exactly as prepare_adjacency(for_gat=True) does at scale."""
+    from sgracex1_tpu.ops.bsr import bsr_mask_from_sparse
+    from sgracex1_tpu.ops.dispatch import split_by_tile_density
+
+    mat = sp.random(n, n, density=density, format="csr",
+                    random_state=11).astype(np.float32)
+    mat.setdiag(0.9)
+    A = SparseMatrix.from_scipy(mat)
+    part, rest = split_by_tile_density(A, tb, thresh)
+    assert part.nnz and rest.nnz, "split degenerate — adjust test params"
+    B = bsr_mask_from_sparse(part, tb=tb, cover_rows=True, cover_cols=True)
+    return A, B, rest
+
+
+def test_hybrid_agg_matches_reference(rng):
+    """Single-chip hybrid attention (dense tiles + edge remainder merged
+    via the block-combine identity) reproduces the edge-path reference —
+    forward and gradients, with cotangent fan-in to s2/Wh summed across
+    the two populations."""
+    from sgracex1_tpu.ops.flash_gat import gat_attention_agg_hybrid
+
+    A, B, rest = _hybrid_pieces(rng)
+    F = 16
+    s1 = jnp.asarray(rng.standard_normal(A.n_rows).astype(np.float32))
+    s2 = jnp.asarray(rng.standard_normal(A.n_cols).astype(np.float32))
+    Wh = jnp.asarray(rng.standard_normal((A.n_cols, F)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((A.n_rows, F)).astype(np.float32))
+
+    out = np.asarray(gat_attention_agg_hybrid(B, rest, s1, s2, Wh))
+    ref = np.asarray(gat_attention_agg_ref(A, s1, s2, Wh))
+    np.testing.assert_allclose(out, ref, rtol=2e-2, atol=2e-2)
+
+    def loss_h(s1, s2, Wh):
+        return jnp.vdot(gat_attention_agg_hybrid(B, rest, s1, s2, Wh), v)
+
+    def loss_ref(s1, s2, Wh):
+        return jnp.vdot(gat_attention_agg_ref(A, s1, s2, Wh), v)
+
+    gh = jax.grad(loss_h, argnums=(0, 1, 2))(s1, s2, Wh)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(s1, s2, Wh)
+    for a, b, name in zip(gh, gr, ("ds1", "ds2", "dWh")):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-2, atol=2e-2,
+            err_msg=f"hybrid grad mismatch for {name}",
+        )
+
+
+def test_hybrid_agg_multihead(rng):
+    """Hybrid attention with batched heads matches per-head hybrid calls
+    and the edge reference."""
+    from sgracex1_tpu.ops.flash_gat import gat_attention_agg_hybrid
+
+    A, B, rest = _hybrid_pieces(rng, n=300, density=0.03, thresh=130)
+    H, F = 2, 8
+    S1 = jnp.asarray(rng.standard_normal((A.n_rows, H)).astype(np.float32))
+    S2 = jnp.asarray(rng.standard_normal((A.n_cols, H)).astype(np.float32))
+    Wh = jnp.asarray(
+        rng.standard_normal((A.n_cols, H, F)).astype(np.float32)
+    )
+    out = np.asarray(gat_attention_agg_hybrid(B, rest, S1, S2, Wh))
+    for h in range(H):
+        ref_h = np.asarray(
+            gat_attention_agg_ref(A, S1[:, h], S2[:, h], Wh[:, h])
+        )
+        np.testing.assert_allclose(
+            out[:, h], ref_h, rtol=2e-2, atol=2e-2,
+            err_msg=f"hybrid multi-head mismatch, head {h}",
+        )
+
+
+def test_prepare_attaches_hybrid_flash_split(rng, monkeypatch):
+    """prepare_adjacency(for_gat=True) attaches (gat_bsr, gat_rest) when
+    the chooser picks the hybrid attention split, and GATConv's output on
+    that prep matches the edge path."""
+    from sgracex1_tpu.graph.datasets import sbm_node_classification
+    from sgracex1_tpu.graph.normalize import sym_norm
+    from sgracex1_tpu.nn.layers import GATConv
+    from sgracex1_tpu.ops import dispatch as dm
+
+    data = sbm_node_classification(n=260, seed=9)
+    A = sym_norm(data.edge_index, data.num_nodes, fill=1.0)
+    x = jnp.asarray(data.x)
+    # force the hybrid regime on this small graph (the real chooser only
+    # picks it at power-law scale)
+    monkeypatch.setattr(
+        dm, "_choose_flash_plan", lambda A, n, hybrid=True: (64, False, 3)
+    )
+    prep = dm.prepare_adjacency(A, method="xla", for_gat=True)
+    assert prep.gat_bsr is not None and prep.gat_rest is not None
+    assert prep.gat_bsr.tb == 64
+    # the two populations partition the edge set exactly
+    n_tile_edges = int(jnp.sum(prep.gat_bsr.tiles > 0))
+    assert n_tile_edges + prep.gat_rest.nnz == A.nnz
+
+    conv = GATConv(data.num_features, 16, nheads=2)
+    params = conv.init(jax.random.PRNGKey(0), A, x)
+    ref = conv.apply(params, A, x)
+    out = conv.apply(params, prep, x)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), rtol=2e-2, atol=2e-2
+    )
+
+    # training gradients flow through the hybrid path
+    def loss(p):
+        return jnp.sum(conv.apply(p, prep, x) ** 2)
+
+    def loss_ref(p):
+        return jnp.sum(conv.apply(p, A, x) ** 2)
+
+    g = jax.grad(loss)(params)
+    gr = jax.grad(loss_ref)(params)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=3e-2, atol=3e-2
+        ),
+        g, gr,
+    )
+
+
 def test_flash_fast_exp_close_to_exact(rng):
     """fast_exp (Schraudolph, ~3% max rel err on probabilities) stays close
     to the exact flash forward and the edge reference."""

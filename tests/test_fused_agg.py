@@ -140,3 +140,70 @@ def test_sliced_schedule_parity(rng, monkeypatch):
     v = rng.standard_normal((A.n_rows, 64)).astype(np.float32)
     g = jax.grad(lambda h: jnp.vdot(agg_matmul(prep, h), v))(H)
     np.testing.assert_allclose(np.asarray(g), mat.T @ v, rtol=5e-2, atol=5e-2)
+
+
+def test_pad_fused_plan_parity(rng):
+    """A fused schedule padded to sticky (S, T, R, K) maxima produces the
+    exact same aggregation — padding tiles are zero, padding chunk slots
+    are dead, padding steps revisit the last run and add nothing."""
+    from sgracex1_tpu.ops.fused_agg import bsr_spmm_fused, pad_fused_plan
+
+    A, mat = _skewed_rank1_graph(rng, n=4096)
+    prep = prepare_adjacency(A, method="hybrid", tb=128)
+    plan = prep.fused
+    assert plan is not None and plan.num_rest_chunks > 0
+    H = jnp.asarray(rng.standard_normal((A.n_cols, 128)).astype(np.float32))
+    base = np.asarray(bsr_spmm_fused(plan, H))
+
+    S, T, R, K = (
+        plan.num_steps, plan.B.num_tiles, plan.num_chunks, plan.K
+    )
+    padded = pad_fused_plan(plan, S=S + 7, T=T + 5, R=R + 2, K=K * 2)
+    assert padded.num_steps == S + 7
+    out = np.asarray(bsr_spmm_fused(padded, H))
+    np.testing.assert_allclose(out, base, rtol=1e-6, atol=1e-6)
+
+    # K-only and R-only paddings too
+    out2 = np.asarray(
+        bsr_spmm_fused(pad_fused_plan(plan, S=S, T=T, R=R + 1, K=K), H)
+    )
+    np.testing.assert_allclose(out2, base, rtol=1e-6, atol=1e-6)
+
+
+def test_pad_prep_tiles_trace_stable(rng):
+    """Two differently-shaped sampled preps run through the sticky pad
+    converge to ONE traced shape (same treedef + leaf shapes) while
+    keeping the fused schedules — the jitted sampled step compiles once
+    (VERDICT r4 #4: the product path runs the flagship kernel)."""
+    from sgracex1_tpu.train.loop import _pad_prep_tiles
+
+    sticky: dict = {}
+    preps, outs, Hs = [], [], []
+    for seed, hub in ((0, 500), (1, 900)):
+        r = np.random.default_rng(seed)
+        A, mat = _skewed_rank1_graph(r, n=4096)
+        # the sampler hands uniform-nnz, sticky-padded edge lists to
+        # prepare (graph/sampling.py) — mirror that here
+        A = A.pad_edges_to(16384).with_uniform_nnz()
+        p = prepare_adjacency(A, method="hybrid", tb=128)
+        assert p.fused is not None
+        H = jnp.asarray(r.standard_normal((A.n_cols, 128)).astype(np.float32))
+        pp = _pad_prep_tiles(p, sticky)
+        preps.append(pp)
+        Hs.append(H)
+        outs.append(mat @ np.asarray(H))
+    # second pass: re-pad the FIRST prep so both sit at the sticky maxima
+    preps[0] = _pad_prep_tiles(preps[0], sticky)
+    td0, td1 = (
+        jax.tree_util.tree_structure((p, jnp.zeros(()))) for p in preps
+    )
+    assert td0 == td1
+    shapes = [
+        [np.shape(l) for l in jax.tree_util.tree_leaves(p)] for p in preps
+    ]
+    assert shapes[0] == shapes[1]
+    # padded preps still compute the right answer (fused path engaged)
+    for p, H, ref in zip(preps, Hs, outs):
+        assert p.fused is not None and p.rest is None
+        got = np.asarray(agg_matmul(p, H))
+        np.testing.assert_allclose(got, ref, rtol=2e-2, atol=2e-2)
