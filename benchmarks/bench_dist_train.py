@@ -171,7 +171,7 @@ def main_large(n_log2: int = 22, d: int = 16, ndev: int = 8):
     G, n_pad = build_halo(A_s, ndev)
     halo_s = time.time() - t0
     t0 = time.time()
-    FP = build_halo_fused(G, tb=1024, rank1_factors=fac)
+    FP = build_halo_fused(G, rank1_factors=fac)  # cost-model tb + auto K
     fused_s = time.time() - t0
     tile_mb = FP.tiles.size * FP.tiles.dtype.itemsize / 1e6
     prep_total = rank1_s + halo_s + fused_s

@@ -85,19 +85,20 @@ def rank1_factor(
     store tiles as exact int8 {0,1} *masks* — half the HBM traffic of bf16
     value tiles and no value-rounding error — applying the two diagonal
     scalings to H and the output instead (O(N*F) VPU work). Detection is
-    structural, not tied to sym_norm: solve ``log s_r + log s_c = log v``
-    by alternating per-row/per-column means (seeded from positive diagonal
-    entries, which give ``s_i^2`` directly for sym-normalized graphs), then
-    verify every positive edge to ``tol`` relative error. Returns
-    ``(s_row, s_col)`` float32, 1.0 at nodes with no positive edges, or
-    None when no factorization holds (weighted graphs, quantized values,
-    duplicate edges).
+    structural, not tied to sym_norm: after a degree-seed fast path
+    (sym-normalized graphs verify in one O(nnz) pass), the consistent
+    system ``log s_r + log s_c = log v`` is solved EXACTLY by
+    level-vectorized spanning-forest propagation on the bipartite
+    (row-node, col-node) graph, then every positive edge is verified to
+    ``tol`` relative error. Returns ``(s_row, s_col)`` float32, 1.0 at
+    nodes with no positive edges, or None when no factorization holds
+    (weighted graphs, quantized values, duplicate edges).
 
-    ``iters`` defaults to ``max(200, 2*sqrt(N))`` — the alternating solve's
-    convergence slows with graph diameter, and a too-small cap would make
-    genuinely rank-1 graphs that miss the degree fast path silently fall
-    back to value tiles. A verify failure after max iterations is logged
-    (warnings) so the fallback is observable.
+    ``iters`` caps the number of frontier SWEEPS of the propagation
+    (default ``max(64, 4*sqrt(n_r + n_c))``); each sweep advances one
+    BFS level across every connected component at once, so only graphs
+    of diameter beyond the cap are affected — they fall back to value
+    tiles (the propagation stops early and the verify rejects).
     """
     n_r, n_c = A.n_rows, A.n_cols
     r = np.asarray(A.rows[: A.nnz]).astype(np.int64)

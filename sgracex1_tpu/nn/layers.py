@@ -233,15 +233,14 @@ class GATConv(nn.Module, _AmaxMixin):
             isinstance(A, PreparedAdjacency) and A.flash_tiles is not None
         )
         if use_flash:
-            if A.gat_rest is not None:
+            if A.gat_plan is not None:
                 # hybrid attention split (power-law scale): dense tiles
-                # through the flash kernel, remainder edges through the
-                # streaming softmax, merged via the block-combine
-                # identity — exact row softmax, fused fwd+bwd on the
-                # tile population
+                # AND remainder chunk steps in one flash kernel pass —
+                # exact row softmax over all edges; the backward's
+                # remainder terms ride gat_rest's edge list
                 out = gat_attention_agg_hybrid(
-                    A.flash_tiles, A.gat_rest, S1, S2, Wh_heads,
-                    self.alpha,
+                    A.gat_plan, A.gat_rest, S1, S2, Wh_heads,
+                    self.alpha, A.gat_rest.rows_sorted,
                 ).reshape(-1, F * H)
             else:
                 # fully fused fwd+bwd, ALL heads in one kernel per pass:

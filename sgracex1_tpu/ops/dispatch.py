@@ -79,10 +79,12 @@ class PreparedAdjacency:
     rest: Optional[SparseMatrix] = None
     gat_bsr: Optional[BSRMatrix] = None
     # hybrid flash-attention split: edges NOT covered by gat_bsr's dense
-    # tiles. When present, GATConv merges the flash-kernel tiles with the
-    # edge-path remainder via the softmax block-combine identity
-    # (ops/flash_gat.gat_attention_agg_hybrid).
+    # tiles, and the fused-style schedule that runs them as in-kernel
+    # chunk steps. When present, GATConv runs
+    # ops/flash_gat.gat_attention_agg_hybrid (gat_plan.B is gat_bsr;
+    # gat_rest feeds the backward's per-edge remainder reductions).
     gat_rest: Optional[SparseMatrix] = None
+    gat_plan: Optional[object] = None
     # rank-1 adjacency factorization (graph/normalize.rank1_factor): when
     # set, bsr/bsr_t hold exact int8 {0,1} MASK tiles and
     # A @ H == r1_row * (M @ (r1_col * H)) + rest @ H — half the tile HBM
@@ -102,10 +104,14 @@ class PreparedAdjacency:
 
     @property
     def flash_tiles(self) -> Optional[BSRMatrix]:
-        """Full-adjacency BSR tiles for the flash-GAT kernel: the dedicated
-        mask tiles if attached (for_gat=True), else the value tiles when the
+        """BSR tiles for the flash-GAT kernel: the dedicated mask tiles
+        if attached (for_gat=True), else the value tiles when the
         aggregation backend already holds the whole adjacency densified.
-        The hybrid backend's partial ``bsr`` is NOT a valid flash mask."""
+        The hybrid backend's partial ``bsr`` is NOT a valid flash mask —
+        and when ``gat_plan`` is set, ``gat_bsr`` covers only the DENSE
+        attention tiles (the remainder rides gat_plan's chunks), so
+        consumers must go through gat_attention_agg_hybrid, as GATConv
+        does."""
         if self.gat_bsr is not None:
             return self.gat_bsr
         return self.bsr if self.kind == "bsr" else None
@@ -243,22 +249,38 @@ def split_by_tile_density(
     )
 
 
-# flash kernel per-tile-element seconds (score elementwise ops + one exp
-# at the measured VPU peaks — ~287 G elements/s; validates against pubmed
-# tb=1024 0.72 ms/184 tiles and 2^20 tb=1024 88.4 ms/21108 tiles)
-_FLASH_ELT_S = 3.5e-12
+# flash kernel per-tile seconds, MEASURED on the attached v5e (r5
+# decomposition runs at 2^20 nodes: 59794 tb=256 tiles -> 52.1 ms;
+# 5074 tb=512 -> 13.48 ms; r4: 21108 tb=1024 -> 88.4 ms, pubmed 184
+# tb=1024 -> 0.77 ms). The elementwise model (~3.5e-12 * tb^2 + step)
+# undershoots tb=512 by 1.9x — trust the measurements.
+_FLASH_TILE_S = {256: 0.87e-6, 512: 2.66e-6, 1024: 4.19e-6}
+_FLASH_ELT_S = 3.5e-12  # fallback for tile sizes outside the table
 # measured packed-tile penalty: the [tb, tb] VPU unpack of 1-bit masks
 # adds ~7% per tile (r3, pubmed packed 0.77 vs int8 0.72 ms)
 _FLASH_PACKED_MULT = 1.07
 # int8 full-adjacency mask budget before falling back to 1-bit packed
 # tb=1024 tiles (packing needs tb/8 lane-aligned, so only 1024 packs)
 _FLASH_TILE_BUDGET = 4 << 30
-# hybrid flash split: per-remainder-edge seconds on the streaming edge
-# softmax (3 narrow segment reductions + one [E, F] gather/scatter pair —
-# the scatter is the wall, ~28-50 ns/edge at 2^20 rows) and the fixed
-# cost of the ~15 extra XLA ops of the stats merge
-_FLASH_EDGE_S = 60e-9
+# hybrid flash chunk step: grid-step overhead + the [tb, K] score grid
+# (~20 VPU slots/element: exp 11, mask+lrelu+reductions ~9) + the
+# [tb, K] @ [K, F] MXU scatter
+_FLASH_CHUNK_K = 128
+# fixed cost of engaging the hybrid path (the in-jit slot gathers and
+# head-major reshapes around the kernel) — keeps small graphs where the
+# full cover is already sub-ms (pubmed) from flapping to hybrid for
+# marginal modeled wins
 _FLASH_HYBRID_FIXED_S = 50e-6
+
+
+def _flash_tile_s(tb: int, packed: bool) -> float:
+    base = _FLASH_TILE_S.get(tb, tb * tb * _FLASH_ELT_S + _STEP_S)
+    return base * (_FLASH_PACKED_MULT if packed else 1.0)
+
+
+def _flash_chunk_s(tb: int, K: int = _FLASH_CHUNK_K) -> float:
+    return _STEP_S + tb * K * 20 / _VPU_OPS
+
 
 
 def _choose_flash_tb(A: SparseMatrix, n: int) -> tuple[int, bool]:
@@ -277,12 +299,12 @@ def _choose_flash_plan(
     ACTUAL tile populations.
 
     The balance flips with scale: at pubmed (184 tb=1024 tiles) the
-    0.5 us grid-step overhead dominates and big tiles win (0.72 ms vs
-    1.02 at tb=512, r3); at 2^20 nodes the dead-lane VPU work dominates
-    and the HYBRID split wins — only tiles holding >= rest_thresh edges
-    (one tile of score math vs their edges on the edge path) stay dense,
-    the rest ride the streaming edge softmax merged via the block-combine
-    identity (gat_attention_agg_hybrid). ``rest_thresh`` None = full
+    grid-step overhead dominates and big tiles win (0.72 ms vs 1.02 at
+    tb=512, r3); at 2^20 nodes the dead-lane VPU work dominates and the
+    HYBRID split wins — only tiles holding >= rest_thresh edges (one
+    tile of score math vs their edges on the in-kernel chunk path) stay
+    dense, the rest ride [tb, K] chunk steps spliced into the same
+    kernel (gat_attention_agg_hybrid). ``rest_thresh`` None = full
     cover. Packed tb=1024 is a real candidate with its measured ~7%
     unpack penalty, not just the over-budget fallback; int8 candidates
     must fit _FLASH_TILE_BUDGET (packed: 1/8 of it)."""
@@ -290,6 +312,7 @@ def _choose_flash_plan(
         return 256, False, None
     r = np.asarray(A.rows[: A.nnz]).astype(np.int64)
     c = np.asarray(A.cols[: A.nnz]).astype(np.int64)
+    K = _FLASH_CHUNK_K
     best = None  # (est, tb, packed, thresh)
     for tb in (256, 512, 1024):
         keys = (r // tb) << 32 | (c // tb)
@@ -297,9 +320,7 @@ def _choose_flash_plan(
         T = len(uniq)
         for packed in ((False, True) if tb == 1024 else (False,)):
             tile_bytes = tb * tb / (8.0 if packed else 1.0)
-            tc = tb * tb * _FLASH_ELT_S * (
-                _FLASH_PACKED_MULT if packed else 1.0
-            ) + _STEP_S
+            tc = _flash_tile_s(tb, packed)
             if T * tile_bytes <= _FLASH_TILE_BUDGET:
                 est = T * tc
                 if best is None or est < best[0]:
@@ -307,11 +328,13 @@ def _choose_flash_plan(
             if not hybrid:
                 continue
             # hybrid split at this tile size: a tile stays dense iff its
-            # edges cost more on the edge path than one tile of score
-            # math; uncovered row/col blocks add one zero cover tile each
-            # (every output row block and dWh column block must be
-            # written by some tile)
-            thresh = max(2, int(np.ceil(tc / _FLASH_EDGE_S)))
+            # edges cost more as chunk slots than one tile of score
+            # math; uncovered row/col blocks add one zero cover tile
+            # each (every output row block and dWh column block must be
+            # written by some tile), and every row block's rest rounds
+            # up to whole K-slot chunks
+            cc = _flash_chunk_s(tb, K)
+            thresh = max(2, int(np.ceil(tc / (cc / K))))
             dense = counts >= thresh
             T_d = int(dense.sum())
             if T_d == 0:
@@ -321,10 +344,14 @@ def _choose_flash_plan(
             cover = (n_rt - len(np.unique((uniq >> 32)[dense]))) + (
                 n_ct - len(np.unique((uniq & 0xFFFFFFFF)[dense]))
             )
-            e_rest = int(counts[~dense].sum())
+            rest_by_rb = np.bincount(
+                (uniq >> 32)[~dense].astype(np.int64),
+                weights=counts[~dense].astype(np.float64),
+            )
+            n_chunks = int(np.ceil(rest_by_rb / K).sum())
             est_h = (
                 (T_d + cover) * tc
-                + e_rest * _FLASH_EDGE_S
+                + n_chunks * cc
                 + _FLASH_HYBRID_FIXED_S
             )
             if (T_d + cover) * tile_bytes <= _FLASH_TILE_BUDGET and (
@@ -367,6 +394,7 @@ def prepare_adjacency(
     rank1: bool = True,
     rank1_factors=None,
     build_transpose: bool = True,
+    fuse: bool = True,
 ) -> PreparedAdjacency:
     """Choose and precompute the aggregation backend for a graph.
 
@@ -392,6 +420,15 @@ def prepare_adjacency(
     that only the backward pass reads — halves tile HBM for inference-only
     use (at 2^22 nodes the two packed plans are ~2.4 GB; the r3 scale
     sweep needs the headroom). Gradients through such a prep raise.
+
+    PRECISION NOTE: bsr/hybrid preps carry fused one-pass schedules
+    (ops/fused_agg) that agg_matmul prefers; the fused kernel writes its
+    output (and grad_H) back in BFLOAT16 — halving output DMA is part of
+    its speed — before the cast back to H.dtype. f32-feature consumers
+    who need full f32 accumulation on forward AND backward should pass
+    ``fuse=False``: the prep then runs the tile+rest composition
+    (_bsr_agg_scaled), which returns f32 accumulations at ~1-3 extra HBM
+    passes per aggregation.
     """
     from sgracex1_tpu.utils.compcache import enable_persistent_cache
 
@@ -447,17 +484,33 @@ def prepare_adjacency(
             if gat_thresh is not None:
                 # hybrid attention split: dense tiles cover every row AND
                 # column block (flash output / dWh blocks must all be
-                # written); the remainder rides the edge softmax merged
-                # via the block-combine identity
+                # written); the remainder rides in-kernel chunk steps
+                # via a value-mode fused schedule. GAT masks on val > 0,
+                # so zero-valued remainder edges (fill=0 loops) are
+                # non-edges and are dropped from the chunks.
                 part, grest = split_by_tile_density(A, gat_tb, gat_thresh)
+                grest = _drop_zero_val_edges(grest)
                 if part.nnz and grest.nnz:
-                    tiles = build(
+                    from sgracex1_tpu.ops.bsr import bsr_tile_keys
+                    from sgracex1_tpu.ops.fused_agg import (
+                        build_fused_plan,
+                    )
+
+                    tiles = jax.device_put(build(
                         part, tb=gat_tb, cover_rows=True, cover_cols=True
+                    ))
+                    plan = build_fused_plan(
+                        tiles, grest, K=_FLASH_CHUNK_K,
+                        tile_keys=bsr_tile_keys(
+                            part, gat_tb, cover_rows=True,
+                            cover_cols=True,
+                        ),
                     )
                     return dataclasses.replace(
                         prep,
-                        gat_bsr=jax.device_put(tiles),
+                        gat_bsr=tiles,
                         gat_rest=jax.device_put(grest),
+                        gat_plan=plan,
                     )
             tiles = build(A, tb=gat_tb)
             return dataclasses.replace(
@@ -515,6 +568,8 @@ def prepare_adjacency(
         edge list the tiles were built from — the tile layout is
         recomputed host-side (bsr_tile_keys) instead of pulling the
         device tile_rb/tile_cb back through the relay."""
+        if not fuse:
+            return None, None
         from sgracex1_tpu.ops.bsr import bsr_tile_keys
         from sgracex1_tpu.ops.fused_agg import build_fused_plan
 
@@ -637,7 +692,11 @@ def prepare_from_config(
 
 
 def agg_matmul(prep: PreparedAdjacency, H: jax.Array) -> jax.Array:
-    """out = A @ H via the prepared backend (differentiable)."""
+    """out = A @ H via the prepared backend (differentiable).
+
+    Output dtype is H.dtype, but on fused-schedule preps (bsr/hybrid
+    default) the values round through BFLOAT16 on forward and grad_H —
+    see prepare_adjacency's precision note (``fuse=False`` opts out)."""
     if prep.kind == "dense":
         out = jnp.dot(
             prep.dense,

@@ -953,6 +953,272 @@ gat_attention_agg_fused.defvjp(_gat_agg_fused_fwd, _gat_agg_fused_bwd)
 
 
 # ---------------------------------------------------------------------------
+# hybrid flash forward: dense tiles + remainder CHUNK steps in ONE kernel
+# ---------------------------------------------------------------------------
+
+
+def _flash_hybrid_kernel(
+    srb, scb, stile, schunk, skind,
+    a_ref, s1_ref, s2_ref, wh_ref, s2g_ref, whg_ref, lrow_ref,
+    out_ref, m_ref, l_ref, acc_ref, *, alpha: float, tb: int, K: int,
+    m_out=None, l_out=None,
+):
+    """Flash-GAT grid step that is EITHER a dense adjacency tile (the
+    _flash_gat_kernel math) OR a remainder chunk: K pre-gathered edges
+    of this output row block, scored lane-packed and scattered into the
+    resident (m, l, acc) state through a one-hot [tb, K] grid — the
+    attention analogue of ops/fused_agg's chunk steps. The r4-era
+    alternative (edge-path remainder + external stats merge) cost
+    ~15 ms at 2^20 nodes for 64k edges: narrow segment reductions over
+    1M segments plus several full [N, F] merge passes. Here the merge
+    is free — the chunk lands in the same online-softmax state the
+    tiles stream through, one grid step per K edges."""
+    g = pl.program_id(1)
+    S = pl.num_programs(1)
+    first = jnp.logical_or(g == 0, srb[g] != srb[jnp.maximum(g - 1, 0)])
+    last = jnp.logical_or(g == S - 1, srb[g + 1] != srb[g])
+
+    @pl.when(first)
+    def _():
+        m_ref[:] = jnp.full_like(m_ref, _M_INIT)
+        l_ref[:] = jnp.zeros_like(l_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    def _online_update(e, feats):
+        """Shared online-softmax update: e [tb, X] masked scores (dead
+        entries hold <= _MASKED), feats [X, F] bf16-castable."""
+        m_old = m_ref[:]
+        m_new = jnp.maximum(m_old, jnp.max(e, axis=1, keepdims=True))
+        p = jnp.exp(e - m_new)
+        corr = jnp.exp(m_old - m_new)
+        l_ref[:] = l_ref[:] * corr + jnp.sum(p, axis=1, keepdims=True)
+        acc_ref[:] = acc_ref[:] * corr + jnp.dot(
+            p.astype(jnp.bfloat16),
+            feats.astype(jnp.bfloat16),
+            preferred_element_type=jnp.float32,
+        )
+        m_ref[:] = m_new
+
+    @pl.when(skind[g] == 0)
+    def _():
+        m01 = _tile_mask01(a_ref, tb)
+        e = s1_ref[0] + s2_ref[0].reshape(1, -1)
+        e = jnp.maximum(e, alpha * e)
+        _online_update(e + (m01 * _MASK_BIG - _MASK_BIG), wh_ref[0])
+
+    @pl.when(skind[g] != 0)
+    def _():
+        lr = lrow_ref[0, 0:1, :]  # [1, K] f32 local rows (tb = dead)
+        sg = s2g_ref[0, 0, 0:1, :]  # [1, K] gathered s2[col] per slot
+        iota = jax.lax.broadcasted_iota(jnp.int32, (tb, K), 0).astype(
+            jnp.float32
+        )
+        oh01 = (iota == lr).astype(jnp.float32)
+        e = s1_ref[0] + sg  # [tb, 1] + [1, K]
+        e = jnp.maximum(e, alpha * e)
+        _online_update(
+            e + (oh01 * _MASK_BIG - _MASK_BIG), whg_ref[0, 0]
+        )
+
+    @pl.when(last)
+    def _():
+        out_ref[0] = acc_ref[:] / jnp.maximum(l_ref[:], 1e-30)
+        if m_out is not None:
+            m_out[0] = m_ref[:]
+            l_out[0] = l_ref[:]
+
+
+def _flash_hybrid_kernel_stats(
+    srb, scb, stile, schunk, skind,
+    a_ref, s1_ref, s2_ref, wh_ref, s2g_ref, whg_ref, lrow_ref,
+    out_ref, m_out, l_out, m_ref, l_ref, acc_ref,
+    *, alpha: float, tb: int, K: int,
+):
+    _flash_hybrid_kernel(
+        srb, scb, stile, schunk, skind,
+        a_ref, s1_ref, s2_ref, wh_ref, s2g_ref, whg_ref, lrow_ref,
+        out_ref, m_ref, l_ref, acc_ref, alpha=alpha, tb=tb, K=K,
+        m_out=m_out, l_out=l_out,
+    )
+
+
+def flash_gat_hybrid_forward(
+    plan,
+    s1: jax.Array,
+    s2: jax.Array,
+    Wh: jax.Array,
+    *,
+    alpha: float = 0.2,
+    interpret: bool | None = None,
+    return_stats: bool = False,
+):
+    """Hybrid flash-GAT forward over a fused schedule (ops/fused_agg
+    FusedAggPlan built on the DENSE attention tiles + remainder edges,
+    value mode): one kernel pass computes the exact row softmax over ALL
+    edges — tiles and remainder chunks share the online (m, l, acc)
+    state, so no external merge exists. Multi-head batched like
+    flash_gat_forward; with ``return_stats`` also returns the TRUE
+    (m, l) over every edge (what the merged-stats backward consumes).
+
+    Matches the reference engine's one-pipeline-slot-per-real-edge
+    economics (kernelMatrixmult_all.cpp:2009-2048) for attention: dense
+    hub tiles ride full [tb, tb] score grids, sparse-tail edges pay one
+    [tb, K] grid per K edges instead of a whole dead-lane tile."""
+    B = plan.B
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    s1, s2, Wh, squeeze = _norm_heads(s1, s2, Wh)
+    H = s1.shape[1]
+    tb, K = B.tb, plan.K
+    n_rt = B.n_row_tiles
+    n_ct = _round_up(B.n_cols, tb) // tb
+    F = Wh.shape[-1]
+    R = plan.num_chunks
+
+    # chunk gathers from the UNPADDED arrays (slot_col holds global col
+    # ids; dead slots point at col 0 with sentinel lrow -> inert)
+    s2g = jnp.take(s2, plan.slot_col, axis=0)  # [R*K, H]
+    whg = jnp.take(Wh, plan.slot_col, axis=0)  # [R*K, H, F]
+    # head-major, sublane-padded like plan.lrow's [R, 8, K] layout
+    s2g = jnp.pad(
+        s2g.T.reshape(H, R, 1, K), ((0, 0), (0, 0), (0, 7), (0, 0))
+    )
+    whg = jnp.transpose(whg.reshape(R, K, H, F), (2, 0, 1, 3))
+
+    if Wh.shape[0] != n_ct * tb:
+        Wh = jnp.pad(Wh, ((0, n_ct * tb - Wh.shape[0]), (0, 0), (0, 0)))
+    if s1.shape[0] != n_rt * tb:
+        s1 = jnp.pad(s1, ((0, n_rt * tb - s1.shape[0]), (0, 0)))
+    if s2.shape[0] != n_ct * tb:
+        s2 = jnp.pad(s2, ((0, n_ct * tb - s2.shape[0]), (0, 0)))
+    s1h, s2h, Whh = _hmaj(s1), _hmaj(s2), _hmaj(Wh)
+
+    S = plan.num_steps
+    slices = plan.slices
+    if len(slices) == 1 and slices[0][1] in (-1, S):
+        slices = ((0, S, 0, n_rt),)
+    inner = B.tiles.shape[-1]
+
+    def _call(lo, hi, rb_lo, rb_hi):
+        nr = rb_hi - rb_lo
+        frac = (hi - lo) / S
+        out_spec = pl.BlockSpec(
+            (1, tb, F),
+            lambda h, g, rb, cb, ti, ch, kd: (h, rb[g] - rb_lo, 0),
+        )
+        stat_spec = pl.BlockSpec(
+            (1, tb, 1),
+            lambda h, g, rb, cb, ti, ch, kd: (h, rb[g] - rb_lo, 0),
+        )
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=5,
+            grid=(H, hi - lo),
+            in_specs=[
+                pl.BlockSpec(
+                    (1, tb, inner),
+                    lambda h, g, rb, cb, ti, ch, kd: (ti[g], 0, 0),
+                ),
+                pl.BlockSpec(
+                    (1, tb, 1),
+                    lambda h, g, rb, cb, ti, ch, kd: (h, rb[g], 0),
+                ),
+                pl.BlockSpec(
+                    (1, tb, 1),
+                    lambda h, g, rb, cb, ti, ch, kd: (h, cb[g], 0),
+                ),
+                pl.BlockSpec(
+                    (1, tb, F),
+                    lambda h, g, rb, cb, ti, ch, kd: (h, cb[g], 0),
+                ),
+                pl.BlockSpec(
+                    (1, 1, 8, K),
+                    lambda h, g, rb, cb, ti, ch, kd: (h, ch[g], 0, 0),
+                ),
+                pl.BlockSpec(
+                    (1, 1, K, F),
+                    lambda h, g, rb, cb, ti, ch, kd: (h, ch[g], 0, 0),
+                ),
+                pl.BlockSpec(
+                    (1, 8, K),
+                    lambda h, g, rb, cb, ti, ch, kd: (ch[g], 0, 0),
+                ),
+            ],
+            out_specs=[out_spec, stat_spec, stat_spec]
+            if return_stats
+            else out_spec,
+            scratch_shapes=[
+                pltpu.VMEM((tb, 1), jnp.float32),
+                pltpu.VMEM((tb, 1), jnp.float32),
+                pltpu.VMEM((tb, F), jnp.float32),
+            ],
+        )
+        out_shape = jax.ShapeDtypeStruct((H, nr * tb, F), jnp.float32)
+        stat_shape = jax.ShapeDtypeStruct((H, nr * tb, 1), jnp.float32)
+        T = B.num_tiles
+        return pl.pallas_call(
+            partial(
+                _flash_hybrid_kernel_stats
+                if return_stats
+                else _flash_hybrid_kernel,
+                alpha=alpha,
+                tb=tb,
+                K=K,
+            ),
+            grid_spec=grid_spec,
+            out_shape=[out_shape, stat_shape, stat_shape]
+            if return_stats
+            else out_shape,
+            interpret=interpret,
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=_VMEM_LIMIT
+            ),
+            cost_estimate=pl.CostEstimate(
+                flops=int(
+                    2 * H * frac * (T * tb * tb + R * tb * K) * (F + 4)
+                ),
+                bytes_accessed=int(
+                    H
+                    * frac
+                    * (
+                        T * (tb * inner + tb * F * 2)
+                        + R * K * (F + 1) * 4
+                    )
+                ),
+                transcendentals=int(
+                    H * frac * (T * tb * tb + R * tb * K)
+                ),
+            ),
+        )(
+            plan.step_rb[lo : hi + 1],
+            plan.step_cb[lo:hi],
+            plan.step_tile[lo:hi],
+            plan.step_chunk[lo:hi],
+            plan.step_kind[lo:hi],
+            B.tiles, s1h, s2h, Whh, s2g, whg, plan.lrow,
+        )
+
+    parts = [_call(*sl) for sl in slices]
+    if len(parts) == 1:
+        res = parts[0]
+    elif return_stats:
+        res = tuple(
+            jnp.concatenate([p[i] for p in parts], axis=1)
+            for i in range(3)
+        )
+    else:
+        res = jnp.concatenate(parts, axis=1)
+
+    def shape_out(o):
+        o = jnp.transpose(o, (1, 0, 2))[: B.n_rows]
+        return o[:, 0, :] if squeeze else o
+
+    if return_stats:
+        out, m, l = res
+        return shape_out(out), m[:, :, 0].T, l[:, :, 0].T
+    return shape_out(res)
+
+
+# ---------------------------------------------------------------------------
 # distributed building block: local flash tiles + halo edges, softmax-stats
 # merge in BOTH directions (forward combine + merged-stats fused backward)
 # ---------------------------------------------------------------------------
@@ -1150,43 +1416,81 @@ def _halo_agg_bwd(alpha, edges_sorted, res, g_out):
 flash_gat_halo_agg.defvjp(_halo_agg_fwd, _halo_agg_bwd)
 
 
+@partial(jax.custom_vjp, nondiff_argnums=(5, 6))
 def gat_attention_agg_hybrid(
-    B: BSRMatrix,
+    plan,
     rest: SparseMatrix,
     s1: jax.Array,
     s2: jax.Array,
     Wh: jax.Array,
     alpha: float = 0.2,
+    edges_sorted: bool = False,
 ):
-    """Single-chip HYBRID flash GAT: dense adjacency tiles through the
-    flash kernel, remainder (sparse-tile) edges through the streaming
-    edge softmax, merged with the softmax block-combine identity — ONE
-    exact row softmax over all edges, differentiable end to end.
+    """Single-chip HYBRID flash GAT: dense adjacency tiles AND remainder
+    chunk steps in ONE kernel pass (flash_gat_hybrid_forward) — an exact
+    row softmax over all edges, differentiable end to end.
 
     The full-cover flash kernel pays a whole ``tb x tb`` score tile per
-    nonempty tile; on ultra-sparse power-law graphs most tiles hold a
-    handful of edges (0.13% occupancy at 2^20 nodes), so attention ran
-    6.5x slower than the same graph's GCN aggregation. This is the
-    attention analogue of the GCN hybrid split (ops/dispatch
-    split_by_tile_density): ``B`` holds only the tiles dense enough that
-    one tile of score math beats their edges on the edge path
-    (cover_rows/cover_cols=True — every output row and dWh column block
-    must be written), ``rest`` holds the rest. The reference engine pays
-    exactly one pipeline slot per real edge
-    (kernelMatrixmult_all.cpp:2009-2048); this recovers that economics
-    for attention at scale.
+    nonempty tile; on ultra-sparse power-law graphs tiles hold <1% real
+    edges, so attention ran 6.5x slower than the same graph's GCN
+    aggregation. This is the attention analogue of the GCN hybrid split
+    (ops/dispatch split_by_tile_density + ops/fused_agg chunk steps):
+    ``plan`` is a value-mode FusedAggPlan whose B holds only the tiles
+    dense enough that one tile of score math beats their edges on the
+    chunk path (cover_rows/cover_cols=True — every output row and dWh
+    column block must be written by some tile), and whose chunks carry
+    the rest. The reference engine pays exactly one pipeline slot per
+    real edge (kernelMatrixmult_all.cpp:2009-2048); this recovers that
+    economics for attention at scale. (The r4-era alternative — edge-path
+    remainder + external stats merge, flash_gat_halo_agg with the remote
+    population aliased local — measured 15 ms of narrow segment ops and
+    full-array merge passes for 64k edges at 2^20 nodes; the chunk steps
+    replace all of it.)
 
-    Implementation: exactly ``flash_gat_halo_agg`` with the shard's
-    "remote" population aliased to the local one (s2h = s2, halo = Wh) —
-    JAX sums the fan-in cotangents, so the backward needs nothing new.
-    Padded rest entries carry val 0 -> masked out.
+    ``rest`` is the same remainder as an edge list — consumed only by
+    the BACKWARD, whose remainder terms are cheap per-edge reductions
+    (the existing merged-stats halo backward with s2h = s2, halo = Wh;
+    fan-in cotangents summed). Gradients flow to s1, s2, Wh; plan/rest
+    get None cotangents. ``edges_sorted`` marks rest.rows sorted.
     """
-    mask = rest.vals[: rest.nnz] > 0
-    return flash_gat_halo_agg(
-        B, s1, s2, s2, Wh, Wh,
-        rest.rows[: rest.nnz], rest.cols[: rest.nnz], mask,
-        alpha, rest.rows_sorted,
+    return flash_gat_hybrid_forward(plan, s1, s2, Wh, alpha=alpha)
+
+
+def _hybrid_agg_fwd(plan, rest, s1, s2, Wh, alpha, edges_sorted):
+    squeeze = s1.ndim == 1
+    s1n, s2n, Whn, _ = _norm_heads(s1, s2, Wh)
+    out, m, l = flash_gat_hybrid_forward(
+        plan, s1n, s2n, Whn, alpha=alpha, return_stats=True
     )
+    res = (plan.B, rest, s1n, s2n, Whn, m, l, squeeze)
+    return (out[:, 0, :] if squeeze else out), res
+
+
+def _hybrid_agg_bwd(alpha, edges_sorted, res, g_out):
+    B, rest, s1n, s2n, Whn, m, l, squeeze = res
+    nl = B.n_rows
+    # the halo backward with the remote population aliased to the local
+    # one: its (m, l) are exactly this kernel's true stats, its t row
+    # reduction sums tiles + remainder, and the remainder cotangents
+    # (ds2h, d_halo) are this op's fan-in terms for (s2, Wh)
+    halo_res = (
+        B, s1n, s2n, s2n, Whn, Whn,
+        rest.rows, rest.cols, rest.vals > 0,
+        m[:nl], l[:nl], False,
+    )
+    if squeeze:
+        g_out = g_out[:, None, :]
+    (_, ds1, ds2, ds2h, dWh, d_halo, _, _, _) = _halo_agg_bwd(
+        alpha, edges_sorted, halo_res, g_out
+    )
+    ds2 = ds2 + ds2h
+    dWh = dWh + d_halo
+    if squeeze:
+        ds1, ds2, dWh = ds1[:, 0], ds2[:, 0], dWh[:, 0, :]
+    return None, None, ds1, ds2, dWh
+
+
+gat_attention_agg_hybrid.defvjp(_hybrid_agg_fwd, _hybrid_agg_bwd)
 
 
 def gat_attention_agg_ref(A: SparseMatrix, s1, s2, Wh, alpha=0.2):

@@ -372,3 +372,18 @@ def test_choose_flash_tb_regimes(rng):
         assert dm._choose_flash_tb(A2, 20000) == (1024, True)
     finally:
         dm._FLASH_TILE_BUDGET = orig
+
+
+def test_fuse_opt_out_keeps_f32_precision(rng):
+    """prepare_adjacency(fuse=False): no fused schedules; agg_matmul runs
+    the f32-accumulating tile+rest composition (the advisor-documented
+    bf16 opt-out for f32 training consumers)."""
+    A, mat = _hub_graph(rng)
+    prep = prepare_adjacency(A, method="hybrid", fuse=False)
+    assert prep.fused is None and prep.fused_t is None
+    H = jnp.asarray(rng.standard_normal((A.n_cols, 64)).astype(np.float32))
+    out = agg_matmul(prep, H)
+    assert out.dtype == jnp.float32
+    np.testing.assert_allclose(
+        np.asarray(out), mat @ np.asarray(H), rtol=2e-2, atol=2e-2
+    )

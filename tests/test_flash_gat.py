@@ -328,11 +328,12 @@ def test_halo_agg_vjp_matches_autodiff(rng):
         )
 
 
-def _hybrid_pieces(rng, n=420, density=0.02, tb=64, thresh=95):
-    """Random graph split by tile density into (covered mask tiles, rest)
+def _hybrid_pieces(rng, n=420, density=0.02, tb=64, thresh=95, K=128):
+    """Random graph split by tile density into (chunked flash plan, rest)
     exactly as prepare_adjacency(for_gat=True) does at scale."""
-    from sgracex1_tpu.ops.bsr import bsr_mask_from_sparse
+    from sgracex1_tpu.ops.bsr import bsr_mask_from_sparse, bsr_tile_keys
     from sgracex1_tpu.ops.dispatch import split_by_tile_density
+    from sgracex1_tpu.ops.fused_agg import build_fused_plan
 
     mat = sp.random(n, n, density=density, format="csr",
                     random_state=11).astype(np.float32)
@@ -341,7 +342,12 @@ def _hybrid_pieces(rng, n=420, density=0.02, tb=64, thresh=95):
     part, rest = split_by_tile_density(A, tb, thresh)
     assert part.nnz and rest.nnz, "split degenerate — adjust test params"
     B = bsr_mask_from_sparse(part, tb=tb, cover_rows=True, cover_cols=True)
-    return A, B, rest
+    plan = build_fused_plan(
+        B, rest, K=K,
+        tile_keys=bsr_tile_keys(part, tb, cover_rows=True,
+                                cover_cols=True),
+    )
+    return A, plan, rest
 
 
 def test_hybrid_agg_matches_reference(rng):
@@ -351,19 +357,21 @@ def test_hybrid_agg_matches_reference(rng):
     the two populations."""
     from sgracex1_tpu.ops.flash_gat import gat_attention_agg_hybrid
 
-    A, B, rest = _hybrid_pieces(rng)
+    A, plan, rest = _hybrid_pieces(rng)
     F = 16
     s1 = jnp.asarray(rng.standard_normal(A.n_rows).astype(np.float32))
     s2 = jnp.asarray(rng.standard_normal(A.n_cols).astype(np.float32))
     Wh = jnp.asarray(rng.standard_normal((A.n_cols, F)).astype(np.float32))
     v = jnp.asarray(rng.standard_normal((A.n_rows, F)).astype(np.float32))
 
-    out = np.asarray(gat_attention_agg_hybrid(B, rest, s1, s2, Wh))
+    out = np.asarray(gat_attention_agg_hybrid(plan, rest, s1, s2, Wh))
     ref = np.asarray(gat_attention_agg_ref(A, s1, s2, Wh))
     np.testing.assert_allclose(out, ref, rtol=2e-2, atol=2e-2)
 
     def loss_h(s1, s2, Wh):
-        return jnp.vdot(gat_attention_agg_hybrid(B, rest, s1, s2, Wh), v)
+        return jnp.vdot(
+            gat_attention_agg_hybrid(plan, rest, s1, s2, Wh), v
+        )
 
     def loss_ref(s1, s2, Wh):
         return jnp.vdot(gat_attention_agg_ref(A, s1, s2, Wh), v)
@@ -382,14 +390,14 @@ def test_hybrid_agg_multihead(rng):
     and the edge reference."""
     from sgracex1_tpu.ops.flash_gat import gat_attention_agg_hybrid
 
-    A, B, rest = _hybrid_pieces(rng, n=300, density=0.03, thresh=130)
+    A, plan, rest = _hybrid_pieces(rng, n=300, density=0.03, thresh=130)
     H, F = 2, 8
     S1 = jnp.asarray(rng.standard_normal((A.n_rows, H)).astype(np.float32))
     S2 = jnp.asarray(rng.standard_normal((A.n_cols, H)).astype(np.float32))
     Wh = jnp.asarray(
         rng.standard_normal((A.n_cols, H, F)).astype(np.float32)
     )
-    out = np.asarray(gat_attention_agg_hybrid(B, rest, S1, S2, Wh))
+    out = np.asarray(gat_attention_agg_hybrid(plan, rest, S1, S2, Wh))
     for h in range(H):
         ref_h = np.asarray(
             gat_attention_agg_ref(A, S1[:, h], S2[:, h], Wh[:, h])
@@ -419,6 +427,7 @@ def test_prepare_attaches_hybrid_flash_split(rng, monkeypatch):
     )
     prep = dm.prepare_adjacency(A, method="xla", for_gat=True)
     assert prep.gat_bsr is not None and prep.gat_rest is not None
+    assert prep.gat_plan is not None and prep.gat_plan.B is prep.gat_bsr
     assert prep.gat_bsr.tb == 64
     # the two populations partition the edge set exactly
     n_tile_edges = int(jnp.sum(prep.gat_bsr.tiles > 0))

@@ -107,3 +107,63 @@ def test_halo_fused_packed_tiles_at_1024(rng):
     )(H_d))[:n]
     expect = np.asarray(spmm(A, jnp.asarray(H)))
     np.testing.assert_allclose(out, expect, rtol=5e-2, atol=5e-2)
+
+
+def test_halo_fused_mixed_rank1_detection_degrades_uniformly(rng):
+    """r4 advisor (medium): with per-shard rank-1 detection, one
+    non-factoring shard next to factoring ones must NOT stack mask tiles
+    beside value tiles — all shards degrade to value mode and the result
+    stays exact."""
+    n, n_dev = 96 * 2, 2
+    half = n // 2
+    # shard 0's local block: random weights (defeats rank1_factor);
+    # shard 1's local block: constant-value edges (factors as rank 1)
+    m = 400
+    r0 = rng.integers(0, half, m)
+    c0 = rng.integers(0, half, m)
+    v0 = rng.uniform(0.5, 2.0, m).astype(np.float32)
+    r1 = rng.integers(half, n, m)
+    c1 = rng.integers(half, n, m)
+    k0 = np.unique(r0.astype(np.int64) * n + c0)
+    k1 = np.unique(r1.astype(np.int64) * n + c1)
+    rows = np.concatenate([k0 // n, k1 // n])
+    cols = np.concatenate([k0 % n, k1 % n])
+    vals = np.concatenate(
+        [v0[: len(k0)], np.full(len(k1), 0.7, np.float32)]
+    )
+    A = SparseMatrix.from_coo(rows, cols, vals, (n, n))
+    G, n_pad = build_halo(A, n_dev)
+    FP = build_halo_fused(G, tb=64)  # per-shard detection path
+    assert FP.colscale is None  # uniform VALUE mode, not mixed
+    mesh = make_mesh(n_dev)
+    sh = NamedSharding(mesh, P("graph"))
+    H = rng.standard_normal((n, 12)).astype(np.float32)
+    H_d = jax.device_put(pad_nodes(H, n_pad), sh)
+    G_d = jax.device_put(G, sh)
+    out = np.asarray(jax.jit(
+        lambda h: dist_spmm_halo_fused(mesh, G_d, FP, h)
+    )(H_d))[:n]
+    expect = np.asarray(spmm(A, jnp.asarray(H)))
+    np.testing.assert_allclose(out, expect, rtol=5e-2, atol=5e-2)
+
+
+def test_halo_fused_auto_tb_and_k(rng):
+    """tb='auto' (cost-model per-shard tile size) and K=None (per-plan
+    chunk width, stacker-unified) build a working plan."""
+    n, n_dev = 96 * 4, 4
+    A, G, FP, mesh, H, H_d, n_pad = _setup(rng, n, n_dev)
+    ei = make_random_graph(rng, n, avg_degree=6)
+    A2 = sym_norm(ei, n, fill=1.0)
+    fac = rank1_factor(A2)
+    G2, n_pad2 = build_halo(A2, n_dev)
+    FP2 = build_halo_fused(G2, rank1_factors=fac)  # tb auto, K auto
+    assert FP2.tb in (256, 512, 1024)
+    sh = NamedSharding(make_mesh(n_dev), P("graph"))
+    H2 = rng.standard_normal((n, 12)).astype(np.float32)
+    H2_d = jax.device_put(pad_nodes(H2, n_pad2), sh)
+    G2_d = jax.device_put(G2, sh)
+    out = np.asarray(jax.jit(
+        lambda h: dist_spmm_halo_fused(make_mesh(n_dev), G2_d, FP2, h)
+    )(H2_d))[:n]
+    expect = np.asarray(spmm(A2, jnp.asarray(H2)))
+    np.testing.assert_allclose(out, expect, rtol=5e-2, atol=5e-2)
