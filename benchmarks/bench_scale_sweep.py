@@ -106,6 +106,13 @@ def run(n_log2: int, avg_degree: int = 16):
 
 
 if __name__ == "__main__":
-    sizes = [int(a) for a in sys.argv[1:]] or [20, 22]
+    # usage: bench_scale_sweep [--degree D] n_log2 [n_log2 ...]
+    argv = sys.argv[1:]
+    deg = 16
+    if "--degree" in argv:
+        i = argv.index("--degree")
+        deg = int(argv[i + 1])
+        argv = argv[:i] + argv[i + 2 :]
+    sizes = [int(a) for a in argv] or [20, 22]
     for s in sizes:
-        run(s)
+        run(s, avg_degree=deg)

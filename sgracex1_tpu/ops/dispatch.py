@@ -505,6 +505,11 @@ def prepare_adjacency(
                             part, gat_tb, cover_rows=True,
                             cover_cols=True,
                         ),
+                        # chunks ride tile steps: a standalone chunk
+                        # step pays ~2-6 us of exposed small-DMA
+                        # latency (r5 diag); attached, the DMA hides
+                        # behind the tile's score math
+                        attach_chunks=True,
                     )
                     return dataclasses.replace(
                         prep,

@@ -999,14 +999,15 @@ def _flash_hybrid_kernel(
         )
         m_ref[:] = m_new
 
-    @pl.when(skind[g] == 0)
+    # universal kind semantics: != 1 -> tile, >= 1 -> chunk (3 = both)
+    @pl.when(skind[g] != 1)
     def _():
         m01 = _tile_mask01(a_ref, tb)
         e = s1_ref[0] + s2_ref[0].reshape(1, -1)
         e = jnp.maximum(e, alpha * e)
         _online_update(e + (m01 * _MASK_BIG - _MASK_BIG), wh_ref[0])
 
-    @pl.when(skind[g] != 0)
+    @pl.when(skind[g] >= 1)
     def _():
         lr = lrow_ref[0, 0:1, :]  # [1, K] f32 local rows (tb = dead)
         sg = s2g_ref[0, 0, 0:1, :]  # [1, K] gathered s2[col] per slot
@@ -1076,9 +1077,17 @@ def flash_gat_hybrid_forward(
     R = plan.num_chunks
 
     # chunk gathers from the UNPADDED arrays (slot_col holds global col
-    # ids; dead slots point at col 0 with sentinel lrow -> inert)
-    s2g = jnp.take(s2, plan.slot_col, axis=0)  # [R*K, H]
-    whg = jnp.take(Wh, plan.slot_col, axis=0)  # [R*K, H, F]
+    # ids; dead slots point at col 0 with sentinel lrow -> inert). ONE
+    # gather of [Wh | s2] rows: a standalone take(s2, slot_col) is a
+    # 4-byte random read per slot that pays a full HBM transaction each
+    # (measured 15.4 ms for 390k slots at 2^20 rows — more than the
+    # whole tile pass); ridden along the 4F-byte Wh row it is free.
+    cat = jnp.concatenate(
+        [Wh.reshape(Wh.shape[0], H * F), s2], axis=1
+    )  # [N, H*(F+1)]
+    g = jnp.take(cat, plan.slot_col, axis=0)  # [R*K, H*(F+1)]
+    whg = g[:, : H * F]
+    s2g = g[:, H * F :]  # [R*K, H]
     # head-major, sublane-padded like plan.lrow's [R, 8, K] layout
     s2g = jnp.pad(
         s2g.T.reshape(H, R, 1, K), ((0, 0), (0, 0), (0, 7), (0, 0))

@@ -83,6 +83,10 @@ class FusedAggPlan:
     slices: tuple = dataclasses.field(
         default=((0, -1, 0, -1),), metadata=dict(static=True)
     )
+    # steps processed per grid step (bsr_spmm_fused_k): every row-block
+    # run is padded to a multiple of k_steps with dead chunk steps, so a
+    # grid step never straddles runs
+    k_steps: int = dataclasses.field(default=1, metadata=dict(static=True))
 
     @property
     def num_steps(self) -> int:
@@ -124,6 +128,8 @@ def build_fused_plan(
     K: Optional[int] = None,
     tile_keys: Optional[np.ndarray] = None,
     device: bool = True,
+    k_steps: int = 1,
+    attach_chunks: bool = False,
 ) -> FusedAggPlan:
     """Host-side schedule build (numpy; ~ms at 50k rest edges).
 
@@ -204,8 +210,24 @@ def build_fused_plan(
     else:
         blk_of_chunk = np.zeros(0, np.int64)
 
-    # interleave: per row block, [first tile][its chunks][remaining tiles]
-    S = T + R
+    # interleave. Default: per row block, [first tile][its chunks]
+    # [remaining tiles] — every schedule entry is ONE tile or ONE chunk.
+    # With ``attach_chunks``: chunks RIDE the tile steps of their block
+    # — zero extra grid steps for the common skew, and the chunk block
+    # DMA hides behind the tile matmul instead of paying an exposed
+    # small-transfer latency on its own step (measured ~2-6 us per
+    # standalone chunk step at the 2^20 scale, r5 diag).
+    #
+    # step_kind semantics (universal across all kernels):
+    #   kind != 1 -> process the tile;  kind >= 1 -> process the chunk
+    #   (0 = tile only, 1 = chunk only, 3 = tile + chunk)
+    if attach_chunks:
+        tiles_per_block = np.diff(
+            np.searchsorted(tile_rb, np.arange(n_rt + 1))
+        )
+        S = T + int(np.maximum(nc - tiles_per_block, 0).sum())
+    else:
+        S = T + R
     s_rb = np.empty(S + 1, np.int32)
     s_cb = np.empty(S, np.int32)
     s_tile = np.empty(S, np.int32)
@@ -225,7 +247,35 @@ def build_fused_plan(
                     "tile set with cover_rows=True"
                 )
             continue
-        n = (t1 - t0) + (c1 - c0)
+        nt, ncb = t1 - t0, c1 - c0
+        if attach_chunks:
+            na = min(ncb, nt)
+            n = nt + (ncb - na)
+            sl = slice(pos, pos + n)
+            s_rb[sl] = tile_rb[t0]
+            tids = np.concatenate(
+                [np.arange(t0, t1), np.full(ncb - na, t1 - 1)]
+            )
+            kinds = np.concatenate([
+                np.full(na, 3, np.int64),
+                np.zeros(nt - na, np.int64),
+                np.ones(ncb - na, np.int64),
+            ])
+            dead = max(c1 - 1, 0) if ncb else last_chunk
+            chks = np.concatenate([
+                np.arange(c0, c0 + na),
+                np.full(nt - na, dead),
+                np.arange(c0 + na, c1),
+            ])
+            s_tile[sl] = tids
+            s_kind[sl] = kinds
+            s_chunk[sl] = chks
+            s_cb[sl] = tile_cb[tids]
+            if ncb:
+                last_chunk = c1 - 1
+            pos += n
+            continue
+        n = nt + ncb
         sl = slice(pos, pos + n)
         s_rb[sl] = tile_rb[t0]
         # tiles of this run, with the chunks spliced in after the first
@@ -251,6 +301,55 @@ def build_fused_plan(
         pos += n
     assert pos == S, (pos, S)
     s_rb[S] = n_rt  # sentinel: final step is always 'last'
+
+    if k_steps > 1:
+        # pad every row-block run to a multiple of k_steps with dead
+        # chunk steps (bsr_spmm_fused_k processes k schedule entries per
+        # grid step and must never straddle a run). Dead steps revisit
+        # the run's last tile/H blocks (DMA-skipped) and point at a
+        # dead chunk whose lrow is all-sentinel.
+        run_starts = np.flatnonzero(np.r_[True, s_rb[1:S] != s_rb[: S - 1]])
+        run_ends = np.r_[run_starts[1:], S]
+        pads = (-(run_ends - run_starts)) % k_steps
+        if pads.sum():
+            R_dead = R_pad
+            R_pad += 1
+            lrow = np.concatenate(
+                [lrow, np.full((1, 8, K), float(tb), np.float32)]
+            )
+            slot_col = np.concatenate([slot_col, np.zeros(K, np.int64)])
+            slot_scale = np.concatenate(
+                [slot_scale, np.zeros(K, np.float32)]
+            )
+            S2 = S + int(pads.sum())
+            n_rb2 = np.empty(S2 + 1, np.int32)
+            n_cb2 = np.empty(S2, np.int32)
+            n_tile2 = np.empty(S2, np.int32)
+            n_chunk2 = np.empty(S2, np.int32)
+            n_kind2 = np.empty(S2, np.int32)
+            pos2 = 0
+            for rs, re, pd in zip(run_starts, run_ends, pads):
+                ln = re - rs
+                sl = slice(pos2, pos2 + ln)
+                n_rb2[sl] = s_rb[rs:re]
+                n_cb2[sl] = s_cb[rs:re]
+                n_tile2[sl] = s_tile[rs:re]
+                n_chunk2[sl] = s_chunk[rs:re]
+                n_kind2[sl] = s_kind[rs:re]
+                if pd:
+                    sp = slice(pos2 + ln, pos2 + ln + pd)
+                    n_rb2[sp] = s_rb[re - 1]
+                    n_cb2[sp] = s_cb[re - 1]
+                    n_tile2[sp] = s_tile[re - 1]
+                    n_chunk2[sp] = R_dead
+                    n_kind2[sp] = 1
+                pos2 += ln + pd
+            assert pos2 == S2
+            n_rb2[S2] = n_rt
+            s_rb, s_cb, s_tile, s_chunk, s_kind = (
+                n_rb2, n_cb2, n_tile2, n_chunk2, n_kind2
+            )
+            S = S2
 
     # static call slices at row-block-run boundaries (SMEM cap; see
     # _MAX_STEPS). Every slice covers whole output blocks.
@@ -305,6 +404,7 @@ def build_fused_plan(
         rowscale=rowscale,
         K=K,
         slices=tuple(slices),
+        k_steps=k_steps,
     )
 
 
@@ -410,9 +510,8 @@ def _fused_kernel(
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    is_tile = skind[g] == 0
-
-    @pl.when(is_tile)
+    # universal kind semantics: != 1 -> tile, >= 1 -> chunk (3 = both)
+    @pl.when(skind[g] != 1)
     def _():
         a = a_ref[0]
         if a.shape[-1] == tb // 8 and tb > 8:  # 1-bit packed mask tile
@@ -427,7 +526,7 @@ def _fused_kernel(
             preferred_element_type=jnp.float32,
         )
 
-    @pl.when(jnp.logical_not(is_tile))
+    @pl.when(skind[g] >= 1)
     def _():
         # one-hot scatter of K pre-gathered rest rows into the resident
         # accumulator: rows ride the MXU, dead slots (lrow == tb) match
@@ -559,6 +658,206 @@ def bsr_spmm_fused(
     return out[: B.n_rows]
 
 
+def _fused_kernel_k(
+    srb, scb, stile, schunk, skind, *refs,
+    tb: int, K: int, with_scales: bool, k: int,
+):
+    """k schedule entries per grid step (VERDICT r3/r4 carry-over: probe
+    the per-grid-step overhead). Runs are padded to multiples of k at
+    build time (build_fused_plan(k_steps=k)), so a grid step never
+    straddles an output row block; each sub-entry has its own
+    tile/H/G/lrow(/colscale) BlockSpecs — same DMA volume, 1/k the grid
+    bookkeeping."""
+    n_in = 4 + (1 if with_scales else 0)
+    ins = refs[: k * n_in]
+    if with_scales:
+        rs_ref, out_ref, acc_ref = refs[k * n_in :]
+    else:
+        out_ref, acc_ref = refs[k * n_in :]
+    g = pl.program_id(0)
+    S = pl.num_programs(0)
+    first = jnp.logical_or(
+        g == 0, srb[k * g] != srb[jnp.maximum(k * g - 1, 0)]
+    )
+
+    @pl.when(first)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    for i in range(k):
+        a_ref = ins[i * n_in + 0]
+        h_ref = ins[i * n_in + 1]
+        g_ref = ins[i * n_in + 2]
+        lrow_ref = ins[i * n_in + 3]
+        cs_ref = ins[i * n_in + 4] if with_scales else None
+        idx = k * g + i
+
+        @pl.when(skind[idx] != 1)
+        def _(a_ref=a_ref, h_ref=h_ref, cs_ref=cs_ref):
+            a = a_ref[0]
+            if a.shape[-1] == tb // 8 and tb > 8:
+                a = unpack_mask01_tile(a, tb, dtype=jnp.bfloat16)
+            else:
+                a = a.astype(jnp.bfloat16)
+            h = h_ref[:]
+            if with_scales:
+                h = h * cs_ref[0].astype(jnp.bfloat16)
+            acc_ref[:] += jax.lax.dot_general(
+                a, h, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+
+        @pl.when(skind[idx] >= 1)
+        def _(g_ref=g_ref, lrow_ref=lrow_ref):
+            l = lrow_ref[0, 0:1, :]
+            iota = jax.lax.broadcasted_iota(
+                jnp.int32, (tb, K), 0
+            ).astype(jnp.float32)
+            oh = (iota == l).astype(jnp.bfloat16)
+            acc_ref[:] += jax.lax.dot_general(
+                oh, g_ref[0], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+
+    last = jnp.logical_or(g == S - 1, srb[k * g + k] != srb[k * g])
+
+    @pl.when(last)
+    def _():
+        o = acc_ref[:]
+        if with_scales:
+            o = o * rs_ref[0]
+        out_ref[:] = o.astype(out_ref.dtype)
+
+
+def bsr_spmm_fused_k(
+    plan: FusedAggPlan, H: jax.Array, *, interpret: bool | None = None
+) -> jax.Array:
+    """bsr_spmm_fused processing ``plan.k_steps`` schedule entries per
+    grid step (build the plan with ``k_steps=k``). Semantically
+    identical; per-grid-step overhead amortizes k-fold."""
+    B = plan.B
+    k = plan.k_steps
+    if k == 1:
+        return bsr_spmm_fused(plan, H, interpret=interpret)
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    tb, K = B.tb, plan.K
+    inner = B.tiles.shape[-1]
+    n_ct = _round_up(B.n_cols, tb) // tb
+    n_rt = B.n_row_tiles
+    P = H.shape[1]
+    with_scales = plan.colscale is not None
+
+    Hb = H.astype(jnp.bfloat16)
+    G = (
+        jnp.take(Hb, plan.slot_col, axis=0)
+        * plan.slot_scale[:, None].astype(jnp.bfloat16)
+    ).reshape(plan.num_chunks, K, P)
+    if Hb.shape[0] != n_ct * tb:
+        Hb = jnp.pad(Hb, ((0, n_ct * tb - Hb.shape[0]), (0, 0)))
+
+    def sub_specs(i):
+        specs = [
+            pl.BlockSpec(
+                (1, tb, inner),
+                lambda g, rb, cb, ti, ch, kd, i=i: (ti[k * g + i], 0, 0),
+            ),
+            pl.BlockSpec(
+                (tb, P),
+                lambda g, rb, cb, ti, ch, kd, i=i: (cb[k * g + i], 0),
+            ),
+            pl.BlockSpec(
+                (1, K, P),
+                lambda g, rb, cb, ti, ch, kd, i=i: (ch[k * g + i], 0, 0),
+            ),
+            pl.BlockSpec(
+                (1, 8, K),
+                lambda g, rb, cb, ti, ch, kd, i=i: (ch[k * g + i], 0, 0),
+            ),
+        ]
+        if with_scales:
+            specs.append(pl.BlockSpec(
+                (1, tb, 1),
+                lambda g, rb, cb, ti, ch, kd, i=i: (cb[k * g + i], 0, 0),
+            ))
+        return specs
+
+    in_specs = []
+    operands = []
+    per = [B.tiles, Hb, G, plan.lrow] + (
+        [plan.colscale] if with_scales else []
+    )
+    for i in range(k):
+        in_specs += sub_specs(i)
+        operands += per
+    if with_scales:
+        in_specs.append(pl.BlockSpec(
+            (1, tb, 1),
+            lambda g, rb, cb, ti, ch, kd: (rb[k * g], 0, 0),
+        ))
+        operands.append(plan.rowscale)
+
+    S = plan.num_steps
+    slices = plan.slices
+    if len(slices) == 1 and slices[0][1] in (-1, S):
+        slices = ((0, S, 0, n_rt),)
+
+    def _call(lo, hi, rb_lo, rb_hi):
+        n_steps = hi - lo
+        assert n_steps % k == 0, (lo, hi, k)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=5,
+            grid=(n_steps // k,),
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec(
+                (tb, P),
+                lambda g, rb, cb, ti, ch, kd: (rb[k * g] - rb_lo, 0),
+            ),
+            scratch_shapes=[pltpu.VMEM((tb, P), jnp.float32)],
+        )
+        return pl.pallas_call(
+            _functools.partial(
+                _fused_kernel_k, tb=tb, K=K, with_scales=with_scales,
+                k=k,
+            ),
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct(
+                ((rb_hi - rb_lo) * tb, P), jnp.bfloat16
+            ),
+            interpret=interpret,
+            cost_estimate=pl.CostEstimate(
+                flops=int(
+                    (n_steps / S)
+                    * (
+                        2 * B.num_tiles * tb * tb * P
+                        + 2 * plan.num_chunks * tb * K * P
+                    )
+                ),
+                bytes_accessed=int(
+                    (n_steps / S)
+                    * (
+                        B.num_tiles
+                        * (tb * inner * B.tiles.dtype.itemsize + tb * P * 2)
+                        + plan.num_chunks * K * P * 2
+                    )
+                    + (rb_hi - rb_lo) * tb * P * 2
+                ),
+                transcendentals=0,
+            ),
+        )(
+            plan.step_rb[lo : hi + 1],
+            plan.step_cb[lo:hi],
+            plan.step_tile[lo:hi],
+            plan.step_chunk[lo:hi],
+            plan.step_kind[lo:hi],
+            *operands,
+        )
+
+    parts = [_call(*sl) for sl in slices]
+    out = parts[0] if len(parts) == 1 else jnp.concatenate(parts)
+    return out[: B.n_rows]
+
+
 def _fused_int8_kernel(
     srb, scb, stile, schunk, skind,
     a_ref, h_ref, g_ref, lrow_ref, vrow_ref, out_ref,
@@ -581,9 +880,7 @@ def _fused_int8_kernel(
         acc_ref[:] = jnp.zeros_like(acc_ref)
         accf_ref[:] = jnp.zeros_like(accf_ref)
 
-    is_tile = skind[g] == 0
-
-    @pl.when(is_tile)
+    @pl.when(skind[g] != 1)
     def _():
         a = a_ref[0]  # int8, unsigned grid shifted by -128
         h = h_ref[:]  # int8, signed grid
@@ -594,7 +891,7 @@ def _fused_int8_kernel(
         corr = 128 * jnp.sum(h.astype(jnp.int32), axis=0, keepdims=True)
         acc_ref[:] += mm + corr
 
-    @pl.when(jnp.logical_not(is_tile))
+    @pl.when(skind[g] >= 1)
     def _():
         l = lrow_ref[0, 0:1, :]  # [1, K] f32 local rows
         v = vrow_ref[0, 0:1, :]  # [1, K] f32 quantized edge values

@@ -207,3 +207,36 @@ def test_pad_prep_tiles_trace_stable(rng):
         assert p.fused is not None and p.rest is None
         got = np.asarray(agg_matmul(p, H))
         np.testing.assert_allclose(got, ref, rtol=2e-2, atol=2e-2)
+
+
+@pytest.mark.parametrize("k", [2, 4])
+def test_k_steps_schedule_parity(rng, k):
+    """k-entries-per-grid-step execution (bsr_spmm_fused_k) matches the
+    k=1 kernel exactly — runs pad to multiples of k with dead chunk
+    steps at build time."""
+    from sgracex1_tpu.ops.bsr import bsr_tile_keys
+    from sgracex1_tpu.ops.dispatch import split_by_tile_density
+    from sgracex1_tpu.ops.fused_agg import (
+        bsr_spmm_fused, bsr_spmm_fused_k, build_fused_plan,
+    )
+    from sgracex1_tpu.ops.bsr import bsr_mask_from_sparse
+    from sgracex1_tpu.graph.normalize import rank1_factor
+
+    A, mat = _skewed_rank1_graph(rng, n=4096)
+    fac = rank1_factor(A)
+    assert fac is not None
+    part, rest = split_by_tile_density(A, 128, 40)
+    B = bsr_mask_from_sparse(part, tb=128, cover_rows=True,
+                             cover_cols=True)
+    keys = bsr_tile_keys(part, 128, cover_rows=True, cover_cols=True)
+    base = build_fused_plan(B, rest, r1_row=fac[0], r1_col=fac[1],
+                            K=128, tile_keys=keys)
+    plank = build_fused_plan(B, rest, r1_row=fac[0], r1_col=fac[1],
+                             K=128, tile_keys=keys, k_steps=k)
+    assert plank.num_steps % k == 0
+    H = jnp.asarray(rng.standard_normal((A.n_cols, 128)).astype(np.float32))
+    o1 = np.asarray(bsr_spmm_fused(base, H))
+    ok = np.asarray(bsr_spmm_fused_k(plank, H))
+    np.testing.assert_allclose(ok, o1, rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(ok, mat @ np.asarray(H), rtol=2e-2,
+                               atol=2e-2)
