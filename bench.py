@@ -421,42 +421,94 @@ def phase_powerlaw_1m():
     EXTRA["powerlaw_1m_train_step_ms"] = round(sec_t * 1e3, 3)
 
     # flash-GAT attention at the same scale — a GAT the reference cannot
-    # express (its on-chip cap is N <= 6144). Mask tiles via the measured
-    # tile-size chooser (tb=256 int8 here — DESIGN §2); schedules past
-    # 8192 tiles run as sliced pallas calls.
-    from sgracex1_tpu.ops.bsr import (
-        bsr_bitmask_from_sparse,
-        bsr_mask_from_sparse,
-    )
-    from sgracex1_tpu.ops.dispatch import _choose_flash_tb
-    from sgracex1_tpu.ops.flash_gat import flash_gat_forward
+    # express (its on-chip cap is N <= 6144). The r5 HYBRID attention
+    # path: dense hub tiles + remainder chunk steps in one kernel
+    # (chooser-picked split), exact row softmax over all edges.
+    from sgracex1_tpu.ops.dispatch import _choose_flash_plan
+    from sgracex1_tpu.ops.flash_gat import gat_attention_agg_hybrid
 
-    gat_tb, packed = _choose_flash_tb(A, A.n_rows)
     t0 = time.time()
-    Bg = (
-        bsr_bitmask_from_sparse(A, tb=gat_tb)
-        if packed
-        else bsr_mask_from_sparse(A, tb=gat_tb)
-    )
-    log(f"1M flash tiles: {Bg.num_tiles} x tb={gat_tb} "
-        f"({time.time()-t0:.0f}s build)")
+    prep_g = prepare_adjacency(A, method="xla", for_gat=True)
+    # whole prep rides as a jit ARGUMENT: every leaf must be device-
+    # resident or the host COO re-uploads per timed call
+    prep_g = jax.device_put(prep_g)
+    gat_tb = prep_g.gat_bsr.tb
+    hybrid_gat = prep_g.gat_plan is not None
+    log(f"1M flash plan: {prep_g.gat_bsr.num_tiles} x tb={gat_tb}"
+        + (f" + {prep_g.gat_plan.num_chunks} chunks"
+           f" ({prep_g.gat_rest.nnz} rest edges)" if hybrid_gat else
+           " (full cover)")
+        + f" ({time.time()-t0:.0f}s build)")
     F = 32
     Whg = jax.random.normal(jax.random.PRNGKey(2), (A.n_rows, F))
     s1g = jax.random.normal(jax.random.PRNGKey(3), (A.n_rows,))
     s2g = jax.random.normal(jax.random.PRNGKey(4), (A.n_rows,))
 
-    def gat_step(wh, Bg, s1g, s2g):
-        o = flash_gat_forward(Bg, s1g, s2g, wh)
-        return wh + o[: wh.shape[0]] * 1e-12
+    if hybrid_gat:
+        def gat_step(wh, prep_g, s1g, s2g):
+            o = gat_attention_agg_hybrid(
+                prep_g.gat_plan, prep_g.gat_rest, s1g, s2g, wh, 0.2,
+                True,
+            )
+            return wh + o[: wh.shape[0]] * 1e-12
+    else:
+        from sgracex1_tpu.ops.flash_gat import flash_gat_forward
 
-    tp = TwoPoint(gat_step, Whg, consts=(Bg, s1g, s2g), k1=2, k2=12)
-    sec_g = float(tp.estimate(reps=5))
+        def gat_step(wh, prep_g, s1g, s2g):
+            o = flash_gat_forward(prep_g.gat_bsr, s1g, s2g, wh)
+            return wh + o[: wh.shape[0]] * 1e-12
+
+    tp = TwoPoint(gat_step, Whg, consts=(prep_g, s1g, s2g), k1=2, k2=12)
+    sec_g = float(np.median([tp.estimate(reps=5) for _ in range(3)]))
     log(
-        f"powerlaw 1M flash GAT fwd (tb={gat_tb}): {sec_g*1e3:.2f} ms "
-        f"({A.nnz/sec_g/1e6:.0f} M edges/s)"
+        f"powerlaw 1M flash GAT fwd "
+        f"({'hybrid ' if hybrid_gat else ''}tb={gat_tb}): "
+        f"{sec_g*1e3:.2f} ms ({A.nnz/sec_g/1e6:.0f} M edges/s)"
     )
     EXTRA["powerlaw_1m_gat_fwd_ms"] = round(sec_g * 1e3, 2)
     EXTRA["powerlaw_1m_gat_tb"] = gat_tb
+    EXTRA["powerlaw_1m_gat_hybrid"] = hybrid_gat
+
+    # full GAT train step at 1M: fwd + merged-stats hybrid backward +
+    # Adam on (W, att) — r4's weakest headline (201 ms) re-measured on
+    # the hybrid path
+    if hybrid_gat and remaining() > 180:
+        Xg = jax.random.normal(
+            jax.random.PRNGKey(7), (A.n_rows, 128), jnp.bfloat16
+        )
+        Wg = jax.random.normal(
+            jax.random.PRNGKey(8), (128, F), jnp.float32) * 0.05
+        attg = jax.random.normal(
+            jax.random.PRNGKey(9), (2 * F,), jnp.float32) * 0.1
+        optg = optax.adam(1e-3)
+
+        def gat_train(carry, prep_g, Xg):
+            (W, att), opt_state = carry
+
+            def loss_fn(p):
+                W, att = p
+                Wh = jnp.dot(Xg, W.astype(jnp.bfloat16),
+                             preferred_element_type=jnp.float32)
+                s1 = Wh @ att[:F]
+                s2 = Wh @ att[F:]
+                out = gat_attention_agg_hybrid(
+                    prep_g.gat_plan, prep_g.gat_rest, s1, s2, Wh, 0.2,
+                    True,
+                )
+                return jnp.sum(out**2) * 1e-12
+
+            g = jax.grad(loss_fn)((W, att))
+            updates, opt_state = optg.update(g, opt_state)
+            return (optax.apply_updates((W, att), updates), opt_state)
+
+        carry_g = ((Wg, attg), optg.init((Wg, attg)))
+        tp = TwoPoint(gat_train, carry_g, consts=(prep_g, Xg), k1=2, k2=8)
+        sec_gt = float(np.median([tp.estimate(reps=5) for _ in range(3)]))
+        log(
+            f"powerlaw 1M GAT train step (hybrid fwd+bwd+Adam): "
+            f"{sec_gt*1e3:.2f} ms ({A.nnz/sec_gt/1e6:.0f} M edges/s)"
+        )
+        EXTRA["powerlaw_1m_gat_train_step_ms"] = round(sec_gt * 1e3, 2)
 
 
 def phase_int8():

@@ -79,8 +79,11 @@ _NEG_INF = -9e15  # reference mask value (sgrace.py:638)
 # tb=1024 BACKWARD passes at F=64 (measured: "scoped allocation 18.26M
 # exceeded" in a GATModel train step at n=32k — the two [tb, tb] f32
 # probability/cotangent intermediates per pass plus double-buffered
-# blocks). Raise the per-kernel budget; 100 MB leaves room for Mosaic's
-# own scratch.
+# blocks). Raise the per-kernel budget for the BACKWARD passes only:
+# granting the forward the same 100 MB made Mosaic schedule it ~7%
+# slower (pubmed tb=1024: 0.769 vs 0.717 ms at <= 64 MB — the r3->r4
+# "regression" bisected to exactly this, r5), so forward kernels keep
+# the default scope.
 _VMEM_LIMIT = 100 * 1024 * 1024
 
 _MASKED = -1e9
@@ -489,9 +492,6 @@ def flash_gat_forward(
             if return_stats
             else out_shape,
             interpret=interpret,
-            compiler_params=pltpu.CompilerParams(
-                vmem_limit_bytes=_VMEM_LIMIT
-            ),
             cost_estimate=pl.CostEstimate(
                 flops=int(2 * H * T * frac * tb * tb * (F + 4)),
                 bytes_accessed=int(
@@ -1178,9 +1178,6 @@ def flash_gat_hybrid_forward(
             if return_stats
             else out_shape,
             interpret=interpret,
-            compiler_params=pltpu.CompilerParams(
-                vmem_limit_bytes=_VMEM_LIMIT
-            ),
             cost_estimate=pl.CostEstimate(
                 flops=int(
                     2 * H * frac * (T * tb * tb + R * tb * K) * (F + 4)
