@@ -250,11 +250,14 @@ def split_by_tile_density(
 
 
 # flash kernel per-tile seconds, MEASURED on the attached v5e (r5
-# decomposition runs at 2^20 nodes: 59794 tb=256 tiles -> 52.1 ms;
-# 5074 tb=512 -> 13.48 ms; r4: 21108 tb=1024 -> 88.4 ms, pubmed 184
-# tb=1024 -> 0.77 ms). The elementwise model (~3.5e-12 * tb^2 + step)
-# undershoots tb=512 by 1.9x — trust the measurements.
-_FLASH_TILE_S = {256: 0.87e-6, 512: 2.66e-6, 1024: 4.19e-6}
+# decompositions at 2^20 nodes). Two components per tile size: a
+# long-run base (full-cover schedules: 59794 tb=256 tiles -> 52.1 ms =
+# 0.87 us; 21108 tb=1024 -> 88.4 ms = 4.19 us) plus a per-RUN drain
+# (each output-block change drains in-flight DMA: dense splits at 2.2
+# tiles/run measured 1.48 us/tile at tb=256 and 5.93 at tb=1024 —
+# DESIGN §1.2d).
+_FLASH_TILE_S = {256: 0.87e-6, 512: 2.2e-6, 1024: 4.19e-6}
+_FLASH_RUN_S = {256: 0.61e-6, 512: 1.6e-6, 1024: 3.86e-6}
 _FLASH_ELT_S = 3.5e-12  # fallback for tile sizes outside the table
 # measured packed-tile penalty: the [tb, tb] VPU unpack of 1-bit masks
 # adds ~7% per tile (r3, pubmed packed 0.77 vs int8 0.72 ms)
@@ -262,10 +265,16 @@ _FLASH_PACKED_MULT = 1.07
 # int8 full-adjacency mask budget before falling back to 1-bit packed
 # tb=1024 tiles (packing needs tb/8 lane-aligned, so only 1024 packs)
 _FLASH_TILE_BUDGET = 4 << 30
-# hybrid flash chunk step: grid-step overhead + the [tb, K] score grid
-# (~20 VPU slots/element: exp 11, mask+lrelu+reductions ~9) + the
-# [tb, K] @ [K, F] MXU scatter
+# hybrid flash chunks: VMEM-RESIDENT payloads cost ~0.45 us per chunk
+# (score grid + one-hot MXU; the bulk DMA amortizes); payloads past the
+# residency budget stream per-step at a measured ~6.7 us of exposed
+# small-DMA latency per chunk (flash_gat._RESIDENT_CHUNK_BUDGET). The
+# payload estimate assumes a bench-typical head width (prepare time
+# does not know the layer's true H*F).
 _FLASH_CHUNK_K = 128
+_FLASH_CHUNK_RES_S = 0.45e-6
+_FLASH_CHUNK_STREAM_S = 6.7e-6
+_FLASH_PAYLOAD_F = 64  # assumed H*(F+1) for the residency estimate
 # fixed cost of engaging the hybrid path (the in-jit slot gathers and
 # head-major reshapes around the kernel) — keeps small graphs where the
 # full cover is already sub-ms (pubmed) from flapping to hybrid for
@@ -278,8 +287,21 @@ def _flash_tile_s(tb: int, packed: bool) -> float:
     return base * (_FLASH_PACKED_MULT if packed else 1.0)
 
 
-def _flash_chunk_s(tb: int, K: int = _FLASH_CHUNK_K) -> float:
-    return _STEP_S + tb * K * 20 / _VPU_OPS
+def _flash_run_s(tb: int) -> float:
+    return _FLASH_RUN_S.get(tb, tb * 3.8e-9)
+
+
+def _flash_chunk_s(
+    tb: int, n_chunks: int = 1, K: int = _FLASH_CHUNK_K
+) -> float:
+    """Per-chunk seconds at this chunk population: resident when the
+    payload estimate fits the VMEM budget, else streamed."""
+    from sgracex1_tpu.ops.flash_gat import _RESIDENT_CHUNK_BUDGET
+
+    payload = n_chunks * K * (_FLASH_PAYLOAD_F + 9) * 4
+    if payload <= _RESIDENT_CHUNK_BUDGET:
+        return _FLASH_CHUNK_RES_S
+    return _FLASH_CHUNK_STREAM_S
 
 
 
@@ -318,46 +340,52 @@ def _choose_flash_plan(
         keys = (r // tb) << 32 | (c // tb)
         uniq, counts = np.unique(keys, return_counts=True)
         T = len(uniq)
+        runs_full = len(np.unique(uniq >> 32))
         for packed in ((False, True) if tb == 1024 else (False,)):
             tile_bytes = tb * tb / (8.0 if packed else 1.0)
             tc = _flash_tile_s(tb, packed)
             if T * tile_bytes <= _FLASH_TILE_BUDGET:
-                est = T * tc
+                est = T * tc + runs_full * _flash_run_s(tb)
                 if best is None or est < best[0]:
                     best = (est, tb, packed, None)
             if not hybrid:
                 continue
-            # hybrid split at this tile size: a tile stays dense iff its
-            # edges cost more as chunk slots than one tile of score
-            # math; uncovered row/col blocks add one zero cover tile
-            # each (every output row block and dWh column block must be
-            # written by some tile), and every row block's rest rounds
-            # up to whole K-slot chunks
-            cc = _flash_chunk_s(tb, K)
-            thresh = max(2, int(np.ceil(tc / (cc / K))))
-            dense = counts >= thresh
-            T_d = int(dense.sum())
-            if T_d == 0:
-                continue
+            # hybrid split at this tile size: evaluate a threshold
+            # ladder and price each split honestly — chunk price flips
+            # from resident to streamed when the payload outgrows the
+            # VMEM budget, so the optimum is not a closed form.
+            # Uncovered row/col blocks add one zero cover tile each
+            # (every output row block and dWh column block must be
+            # written by some tile); every row block's rest rounds up
+            # to whole K-slot chunks; every run pays the measured
+            # output-block drain.
             n_rt = -(-A.n_rows // tb)
             n_ct = -(-A.n_cols // tb)
-            cover = (n_rt - len(np.unique((uniq >> 32)[dense]))) + (
-                n_ct - len(np.unique((uniq & 0xFFFFFFFF)[dense]))
-            )
-            rest_by_rb = np.bincount(
-                (uniq >> 32)[~dense].astype(np.int64),
-                weights=counts[~dense].astype(np.float64),
-            )
-            n_chunks = int(np.ceil(rest_by_rb / K).sum())
-            est_h = (
-                (T_d + cover) * tc
-                + n_chunks * cc
-                + _FLASH_HYBRID_FIXED_S
-            )
-            if (T_d + cover) * tile_bytes <= _FLASH_TILE_BUDGET and (
-                best is None or est_h < best[0]
-            ):
-                best = (est_h, tb, packed, thresh)
+            for thresh in (2, 8, 32, 96, 256, 768, 1536, 3072):
+                dense = counts >= thresh
+                T_d = int(dense.sum())
+                if T_d == 0:
+                    continue
+                rest_by_rb = np.bincount(
+                    (uniq >> 32)[~dense].astype(np.int64),
+                    weights=counts[~dense].astype(np.float64),
+                )
+                n_chunks = int(np.ceil(rest_by_rb / K).sum())
+                cc = _flash_chunk_s(tb, n_chunks)
+                runs_d = len(np.unique((uniq >> 32)[dense]))
+                cover = (n_rt - runs_d) + (
+                    n_ct - len(np.unique((uniq & 0xFFFFFFFF)[dense]))
+                )
+                est_h = (
+                    (T_d + cover) * tc
+                    + n_rt * _flash_run_s(tb)
+                    + n_chunks * cc
+                    + _FLASH_HYBRID_FIXED_S
+                )
+                if (T_d + cover) * tile_bytes <= _FLASH_TILE_BUDGET and (
+                    best is None or est_h < best[0]
+                ):
+                    best = (est_h, tb, packed, thresh)
     if best is None:
         return 1024, True, None  # nothing fits as int8: packed capacity
     return best[1], best[2], best[3]
@@ -580,11 +608,15 @@ def prepare_adjacency(
 
         r1r = fac[0] if fac is not None else None
         r1c = fac[1] if fac is not None else None
+        # attach_chunks: chunks ride their block's tile steps (measured
+        # 7.94 -> 7.23 ms / 706 M edges/s at 2^20, exact parity — the
+        # standalone chunk steps' exposed latency disappears)
         fused = build_fused_plan(
             B, rest_m, r1_row=r1r, r1_col=r1c,
             tile_keys=bsr_tile_keys(
                 src, B.tb, cover_rows=True, cover_cols=True
             ),
+            attach_chunks=True,
         )
         fused_t = (
             build_fused_plan(
@@ -595,6 +627,7 @@ def prepare_adjacency(
                 tile_keys=bsr_tile_keys(
                     src.transpose(), Bt.tb, cover_rows=True, cover_cols=True
                 ),
+                attach_chunks=True,
             )
             if Bt is not None
             else None

@@ -90,6 +90,13 @@ _MASKED = -1e9
 _M_INIT = -1e5
 _MASK_BIG = 1e9
 
+# hybrid-kernel chunk payloads (gathered s2/Wh rows + local-row slots)
+# become VMEM-RESIDENT below this size — one bulk DMA per call instead
+# of a per-chunk small-block fetch whose exposed latency measured
+# ~6.7 us per chunk at 2^20 (see flash_gat_hybrid_forward). Above it
+# (e.g. H=4, F=64 at large R) the streamed mode is the fallback.
+_RESIDENT_CHUNK_BUDGET = 64 << 20
+
 
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
@@ -961,7 +968,8 @@ def _flash_hybrid_kernel(
     srb, scb, stile, schunk, skind,
     a_ref, s1_ref, s2_ref, wh_ref, s2g_ref, whg_ref, lrow_ref,
     out_ref, m_ref, l_ref, acc_ref, *, alpha: float, tb: int, K: int,
-    m_out=None, l_out=None,
+    m_out=None, l_out=None, chunk_mode: str = "full",
+    resident: bool = False,
 ):
     """Flash-GAT grid step that is EITHER a dense adjacency tile (the
     _flash_gat_kernel math) OR a remainder chunk: K pre-gathered edges
@@ -974,6 +982,8 @@ def _flash_hybrid_kernel(
     is free — the chunk lands in the same online-softmax state the
     tiles stream through, one grid step per K edges."""
     g = pl.program_id(1)
+    hh = pl.program_id(0)  # head (hoisted: program_id inside pl.when
+    # bodies does not lower in interpret mode)
     S = pl.num_programs(1)
     first = jnp.logical_or(g == 0, srb[g] != srb[jnp.maximum(g - 1, 0)])
     last = jnp.logical_or(g == S - 1, srb[g + 1] != srb[g])
@@ -1007,19 +1017,40 @@ def _flash_hybrid_kernel(
         e = jnp.maximum(e, alpha * e)
         _online_update(e + (m01 * _MASK_BIG - _MASK_BIG), wh_ref[0])
 
-    @pl.when(skind[g] >= 1)
-    def _():
-        lr = lrow_ref[0, 0:1, :]  # [1, K] f32 local rows (tb = dead)
-        sg = s2g_ref[0, 0, 0:1, :]  # [1, K] gathered s2[col] per slot
-        iota = jax.lax.broadcasted_iota(jnp.int32, (tb, K), 0).astype(
-            jnp.float32
-        )
-        oh01 = (iota == lr).astype(jnp.float32)
-        e = s1_ref[0] + sg  # [tb, 1] + [1, K]
-        e = jnp.maximum(e, alpha * e)
-        _online_update(
-            e + (oh01 * _MASK_BIG - _MASK_BIG), whg_ref[0, 0]
-        )
+    if chunk_mode != "off":
+
+        @pl.when(skind[g] >= 1)
+        def _():
+            if resident:
+                # VMEM-resident chunk payloads, indexed dynamically by
+                # the prefetched chunk id: per-chunk block streaming
+                # measured ~6.7 us of exposed small-DMA latency per
+                # fetch-set at 2^20 even when attached to tile steps
+                # (Mosaic fetches declared blocks unconditionally);
+                # resident payloads pay ONE bulk DMA per call instead
+                ch = schunk[g]
+                lr = lrow_ref[ch, 0:1, :]  # [1, K]
+                sg = s2g_ref[hh, ch, 0:1, :]
+                feats = whg_ref[hh, ch]  # [K, F]
+            else:
+                lr = lrow_ref[0, 0:1, :]  # [1, K] f32 rows (tb = dead)
+                sg = s2g_ref[0, 0, 0:1, :]
+                feats = whg_ref[0, 0]
+            iota = jax.lax.broadcasted_iota(
+                jnp.int32, (tb, K), 0
+            ).astype(jnp.float32)
+            if chunk_mode == "noscore":
+                # diag mode: GCN-style one-hot add, no score math
+                oh = (iota == lr).astype(jnp.bfloat16)
+                acc_ref[:] += jnp.dot(
+                    oh, feats.astype(jnp.bfloat16),
+                    preferred_element_type=jnp.float32,
+                )
+                return
+            oh01 = (iota == lr).astype(jnp.float32)
+            e = s1_ref[0] + sg  # [tb, 1] + [1, K]
+            e = jnp.maximum(e, alpha * e)
+            _online_update(e + (oh01 * _MASK_BIG - _MASK_BIG), feats)
 
     @pl.when(last)
     def _():
@@ -1033,13 +1064,13 @@ def _flash_hybrid_kernel_stats(
     srb, scb, stile, schunk, skind,
     a_ref, s1_ref, s2_ref, wh_ref, s2g_ref, whg_ref, lrow_ref,
     out_ref, m_out, l_out, m_ref, l_ref, acc_ref,
-    *, alpha: float, tb: int, K: int,
+    *, alpha: float, tb: int, K: int, resident: bool = False,
 ):
     _flash_hybrid_kernel(
         srb, scb, stile, schunk, skind,
         a_ref, s1_ref, s2_ref, wh_ref, s2g_ref, whg_ref, lrow_ref,
         out_ref, m_ref, l_ref, acc_ref, alpha=alpha, tb=tb, K=K,
-        m_out=m_out, l_out=l_out,
+        m_out=m_out, l_out=l_out, resident=resident,
     )
 
 
@@ -1052,6 +1083,7 @@ def flash_gat_hybrid_forward(
     alpha: float = 0.2,
     interpret: bool | None = None,
     return_stats: bool = False,
+    _chunk_mode: str = "full",
 ):
     """Hybrid flash-GAT forward over a fused schedule (ops/fused_agg
     FusedAggPlan built on the DENSE attention tiles + remainder edges,
@@ -1108,6 +1140,19 @@ def flash_gat_hybrid_forward(
         slices = ((0, S, 0, n_rt),)
     inner = B.tiles.shape[-1]
 
+    # VMEM-resident chunk payloads when they fit: streaming them as
+    # per-step blocks measured ~6.7 us of exposed small-DMA latency per
+    # chunk fetch-set at 2^20 (5.8 ms for 859 chunks — more than their
+    # compute by 4x), because Mosaic fetches declared blocks
+    # unconditionally and the transfers are too small to pipeline.
+    # Resident payloads are fetched once per call and indexed
+    # dynamically by the prefetched chunk id.
+    payload = s2g.size * 4 + whg.size * 4 + plan.lrow.size * 4
+    resident = payload <= _RESIDENT_CHUNK_BUDGET
+    vmem_lim = (
+        min(_VMEM_LIMIT, payload + (24 << 20)) if resident else None
+    )
+
     def _call(lo, hi, rb_lo, rb_hi):
         nr = rb_hi - rb_lo
         frac = (hi - lo) / S
@@ -1139,6 +1184,20 @@ def flash_gat_hybrid_forward(
                     (1, tb, F),
                     lambda h, g, rb, cb, ti, ch, kd: (h, cb[g], 0),
                 ),
+            ] + ([
+                pl.BlockSpec(
+                    s2g.shape,
+                    lambda h, g, rb, cb, ti, ch, kd: (0, 0, 0, 0),
+                ),
+                pl.BlockSpec(
+                    whg.shape,
+                    lambda h, g, rb, cb, ti, ch, kd: (0, 0, 0, 0),
+                ),
+                pl.BlockSpec(
+                    plan.lrow.shape,
+                    lambda h, g, rb, cb, ti, ch, kd: (0, 0, 0),
+                ),
+            ] if resident else [
                 pl.BlockSpec(
                     (1, 1, 8, K),
                     lambda h, g, rb, cb, ti, ch, kd: (h, ch[g], 0, 0),
@@ -1151,7 +1210,7 @@ def flash_gat_hybrid_forward(
                     (1, 8, K),
                     lambda h, g, rb, cb, ti, ch, kd: (ch[g], 0, 0),
                 ),
-            ],
+            ]),
             out_specs=[out_spec, stat_spec, stat_spec]
             if return_stats
             else out_spec,
@@ -1172,12 +1231,20 @@ def flash_gat_hybrid_forward(
                 alpha=alpha,
                 tb=tb,
                 K=K,
+                resident=resident,
+                **({} if return_stats else
+                   dict(chunk_mode=_chunk_mode)),
             ),
             grid_spec=grid_spec,
             out_shape=[out_shape, stat_shape, stat_shape]
             if return_stats
             else out_shape,
             interpret=interpret,
+            **({} if vmem_lim is None else dict(
+                compiler_params=pltpu.CompilerParams(
+                    vmem_limit_bytes=vmem_lim
+                )
+            )),
             cost_estimate=pl.CostEstimate(
                 flops=int(
                     2 * H * frac * (T * tb * tb + R * tb * K) * (F + 4)

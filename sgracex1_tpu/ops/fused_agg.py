@@ -87,6 +87,12 @@ class FusedAggPlan:
     # run is padded to a multiple of k_steps with dead chunk steps, so a
     # grid step never straddles runs
     k_steps: int = dataclasses.field(default=1, metadata=dict(static=True))
+    # true remainder chunk count, recorded at build time (-1 = legacy
+    # plan predating the field: derive from S - T, exact when every
+    # step is one tile or one chunk)
+    rest_chunks: int = dataclasses.field(
+        default=-1, metadata=dict(static=True)
+    )
 
     @property
     def num_steps(self) -> int:
@@ -100,9 +106,9 @@ class FusedAggPlan:
 
     @property
     def num_rest_chunks(self) -> int:
-        """True remainder chunk count (0 when the split left no rest):
-        every schedule step is either one tile or one chunk, so
-        R = S - T exactly."""
+        """True remainder chunk count (0 when the split left no rest)."""
+        if self.rest_chunks >= 0:
+            return self.rest_chunks
         return self.num_steps - self.B.tiles.shape[0]
 
 
@@ -405,6 +411,7 @@ def build_fused_plan(
         K=K,
         slices=tuple(slices),
         k_steps=k_steps,
+        rest_chunks=R,
     )
 
 

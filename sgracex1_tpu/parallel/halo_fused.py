@@ -146,7 +146,7 @@ def _shard_plan_pair(
     plan = build_fused_plan(
         B, rest_m, r1_row=r1r, r1_col=r1c, K=K,
         tile_keys=bsr_tile_keys(part, tb, cover_rows=True, cover_cols=True),
-        device=False,
+        device=False, attach_chunks=True,
     )
     plan_t = build_fused_plan(
         Bt,
@@ -155,7 +155,7 @@ def _shard_plan_pair(
         tile_keys=bsr_tile_keys(
             part_t, tb, cover_rows=True, cover_cols=True
         ),
-        device=False,
+        device=False, attach_chunks=True,
     )
     return plan, plan_t, int(rest.nnz)
 

@@ -557,6 +557,7 @@ def prepare_int8_hybrid(A, c_a: QuantConstants, *, tb: int = 1024,
     return build_fused_plan(
         B8, rest_q, K=K,
         tile_keys=bsr_tile_keys(part, tb, cover_rows=True, cover_cols=True),
+        attach_chunks=True,
     )
 
 

@@ -87,8 +87,11 @@ def test_multichunk_rest_fused(rng):
 
 
 def test_fused_schedule_invariants(rng):
-    """Step arrays: rb-sorted runs, chunks follow the first tile of their
-    run with repeated tile/H indices (DMA revisit skip), sentinel tail."""
+    """Step arrays under attach_chunks (the production default):
+    rb-sorted runs, every tile processed exactly once (kind != 1),
+    every true chunk processed exactly once (kind >= 1), overflow
+    chunk-only steps repeat the previous tile/H block (DMA revisit
+    skip), sentinel tail."""
     A, mat = _skewed_rank1_graph(rng)
     prep = prepare_adjacency(A, method="hybrid", tb=128)
     f = prep.fused
@@ -96,14 +99,24 @@ def test_fused_schedule_invariants(rng):
     stile = np.asarray(f.step_tile)
     skind = np.asarray(f.step_kind)
     scb = np.asarray(f.step_cb)
+    schunk = np.asarray(f.step_chunk)
     S = len(skind)
     assert srb[S] == f.B.n_row_tiles  # sentinel
     assert (np.diff(srb[:S]) >= 0).all()  # runs are rb-sorted
-    rest_steps = np.nonzero(skind == 1)[0]
-    assert len(rest_steps) == f.num_chunks
-    for g in rest_steps:
+    # tiles: each processed exactly once, in order
+    tile_steps = skind != 1
+    assert np.array_equal(
+        np.sort(stile[tile_steps]), np.arange(f.B.num_tiles)
+    )
+    # chunks: each true chunk processed exactly once
+    chunk_steps = skind >= 1
+    assert np.array_equal(
+        np.sort(schunk[chunk_steps]), np.arange(f.num_rest_chunks)
+    )
+    assert chunk_steps.sum() == f.num_rest_chunks
+    # chunk-only overflow steps repeat the previous step's tile/H block
+    for g in np.nonzero(skind == 1)[0]:
         assert g > 0
-        # chunk steps repeat the previous step's tile and H block
         assert stile[g] == stile[g - 1]
         assert scb[g] == scb[g - 1]
     # slot accounting: every real rest edge occupies exactly one slot
