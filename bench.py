@@ -221,23 +221,43 @@ def phase_pubmed_flash_gat():
     Wh = jax.device_put(rng.standard_normal((N, F)).astype(np.float32))
     s1 = jax.device_put(rng.standard_normal(N).astype(np.float32))
     s2 = jax.device_put(rng.standard_normal(N).astype(np.float32))
-    # tb=1024 is the measured pubmed sweet spot (r3 sweep: 0.72 ms vs 1.02
-    # at tb=512 — the kernel is VPU-bound and per-grid-step overhead favors
-    # fewer, larger tiles; tile count only drops 3.5x while tb^2 grows 4x)
-    B = bsr_mask_from_sparse(adj, tb=1024)
+    # product prep path: the chooser picks the attention layout (r5: a
+    # tb=256 HYBRID split with resident chunk payloads — 0.63 ms vs the
+    # 0.72 of the old fixed tb=1024 full cover)
+    from sgracex1_tpu.ops.dispatch import prepare_adjacency
+    from sgracex1_tpu.ops.flash_gat import (
+        flash_gat_hybrid_forward,
+        gat_attention_agg_hybrid,
+    )
+
+    prep = jax.device_put(
+        prepare_adjacency(adj, method="xla", for_gat=True)
+    )
+    B = prep.gat_bsr
+    hybrid = prep.gat_plan is not None
+    log(f"pubmed flash layout: {B.num_tiles} x tb={B.tb}"
+        + (f" + {prep.gat_plan.num_rest_chunks} chunks" if hybrid
+           else " (full cover)"))
+    EXTRA["pubmed_flash_hybrid"] = hybrid
 
     # measurements ordered most-important-first: EXTRA accumulates as each
     # lands, so a slow relay that exhausts the phase budget mid-way still
     # leaves the earlier numbers in the record. (The fast_exp variant lives
     # in benchmarks/bench_gat.py — measured slower on this chip, not worth
     # a driver-capture compile slot.)
-    def step(wh, B, s1, s2):
-        o = flash_gat_forward(B, s1, s2, wh)
-        return wh + o[: wh.shape[0]] * 1e-12
+    if hybrid:
+        def step(wh, prep, s1, s2):
+            o = flash_gat_hybrid_forward(prep.gat_plan, s1, s2, wh)
+            return wh + o[: wh.shape[0]] * 1e-12
+    else:
+        def step(wh, prep, s1, s2):
+            o = flash_gat_forward(prep.gat_bsr, s1, s2, wh)
+            return wh + o[: wh.shape[0]] * 1e-12
 
-    tp = TwoPoint(step, Wh, consts=(B, s1, s2), k1=100, k2=600)
+    tp = TwoPoint(step, Wh, consts=(prep, s1, s2), k1=100, k2=600)
     sec = float(np.median([tp.estimate() for _ in range(3)]))
-    rl = cost_flash_gat(B, F).roofline(sec)
+    n_ch = prep.gat_plan.num_rest_chunks if hybrid else 0
+    rl = cost_flash_gat(B, F, n_chunks=n_ch).roofline(sec)
     log(
         f"pubmed flash GAT fwd: {sec*1e3:.4f} ms  "
         f"({adj.nnz/sec/1e6:.0f} M edges/s, {rl['pct_roofline']}% of "
@@ -271,7 +291,13 @@ def phase_pubmed_flash_gat():
             Wh = jnp.dot(X, p["W"], preferred_element_type=jnp.float32)
             s1 = Wh @ p["att"][:F]
             s2 = Wh @ p["att"][F:]
-            out = gat_attention_agg_fused(B, s1, s2, Wh, 0.2)
+            if hybrid:
+                out = gat_attention_agg_hybrid(
+                    prep.gat_plan, prep.gat_rest, s1, s2, Wh, 0.2,
+                    prep.gat_rest.rows_sorted,
+                )
+            else:
+                out = gat_attention_agg_fused(B, s1, s2, Wh, 0.2)
             return jnp.sum(out**2) * 1e-9
 
         g = jax.grad(loss_fn)(params)
@@ -285,7 +311,9 @@ def phase_pubmed_flash_gat():
 
     # the step is fwd + fused two-pass backward (X@W, the score matvecs,
     # and Adam are <2% of the modeled time at these shapes)
-    rl_t = (cost_flash_gat(B, F) + cost_flash_gat_bwd(B, F)).roofline(sec_t)
+    rl_t = (
+        cost_flash_gat(B, F, n_chunks=n_ch) + cost_flash_gat_bwd(B, F)
+    ).roofline(sec_t)
     log(
         f"pubmed flash GAT train step (fwd+bwd+Adam): {sec_t*1e3:.4f} ms "
         f"({adj.nnz/sec_t/1e6:.0f} M edges/s, SOL {rl_t['pct_sol']}% of "
@@ -300,7 +328,7 @@ def phase_pubmed_flash_gat():
     s1H = jax.device_put(rng.standard_normal((N, H)).astype(np.float32))
     s2H = jax.device_put(rng.standard_normal((N, H)).astype(np.float32))
 
-    tp = TwoPoint(step, WhH, consts=(B, s1H, s2H), k1=50, k2=300)
+    tp = TwoPoint(step, WhH, consts=(prep, s1H, s2H), k1=50, k2=300)
     sec_h = float(np.median([tp.estimate() for _ in range(3)]))
     log(
         f"pubmed flash GAT fwd H=4 batched: {sec_h*1e3:.4f} ms "

@@ -20,12 +20,15 @@ def _t(fn) -> float:
     return time.time() - t0
 
 
-def run(n_log2: int, avg_degree: int = 16):
+def run(n_log2: int, avg_degree: int = 16, products: bool = False):
     import jax
     import jax.numpy as jnp
 
     from benchmarks.common import timed_loop
-    from sgracex1_tpu.graph.datasets import powerlaw_node_classification
+    from sgracex1_tpu.graph.datasets import (
+        powerlaw_node_classification,
+        products_density_graph,
+    )
     from sgracex1_tpu.graph.normalize import sym_norm
     from sgracex1_tpu.graph.reorder import degree_order, permute_graph
     from sgracex1_tpu.ops.dispatch import agg_matmul, prepare_adjacency
@@ -33,9 +36,15 @@ def run(n_log2: int, avg_degree: int = 16):
 
     n = 1 << n_log2
     t0 = time.time()
-    data = powerlaw_node_classification(
-        n=n, avg_degree=avg_degree, num_features=8, seed=0
-    )
+    if products:
+        # north-star DENSITY row: ring-lattice locality + power-law tail,
+        # ~29 real edges/node (ogbn-products class) — see
+        # graph/datasets.products_density_graph
+        data = products_density_graph(n, num_features=8, seed=0)
+    else:
+        data = powerlaw_node_classification(
+            n=n, avg_degree=avg_degree, num_features=8, seed=0
+        )
     A = sym_norm(data.edge_index, data.num_nodes)
     A, _ = permute_graph(A, degree_order(A))
     gen_s = time.time() - t0
@@ -106,13 +115,15 @@ def run(n_log2: int, avg_degree: int = 16):
 
 
 if __name__ == "__main__":
-    # usage: bench_scale_sweep [--degree D] n_log2 [n_log2 ...]
+    # usage: bench_scale_sweep [--degree D] [--products] n_log2 ...
     argv = sys.argv[1:]
     deg = 16
+    products = "--products" in argv
+    argv = [a for a in argv if a != "--products"]
     if "--degree" in argv:
         i = argv.index("--degree")
         deg = int(argv[i + 1])
         argv = argv[:i] + argv[i + 2 :]
     sizes = [int(a) for a in argv] or [20, 22]
     for s in sizes:
-        run(s, avg_degree=deg)
+        run(s, avg_degree=deg, products=products)

@@ -396,6 +396,44 @@ def powerlaw_node_classification(
     return NodeClassificationData(und, x, y.astype(np.int64), *masks)
 
 
+def products_density_graph(
+    n: int = 1 << 22,
+    *,
+    tail_degree: int = 16,
+    ring: int = 12,
+    num_classes: int = 16,
+    num_features: int = 8,
+    seed: int = 0,
+) -> NodeClassificationData:
+    """ogbn-products-DENSITY synthetic (the north-star shape): ring-
+    lattice community edges (``2*ring`` per node — products' strong
+    locality, the structure a clustering reorder exposes) plus the
+    Chung-Lu power-law tail of ``powerlaw_node_classification``. At the
+    defaults and n=2^22 the result is ~121M undirected edges / ~29 per
+    node — matching ogbn-products' 123.7M / ~50-per-row directed density
+    class, which pure Chung-Lu cannot reach (hub dedup saturates real
+    degree at ~17 even at avg_degree=128). The real dataset loads via
+    load_ogb_node when its files are present; this is the
+    environment-local analogue for tile-economics measurements."""
+    base = powerlaw_node_classification(
+        n=n, avg_degree=tail_degree, num_classes=num_classes,
+        num_features=num_features, seed=seed,
+    )
+    i = np.arange(n, dtype=np.int64)
+    offs = np.arange(1, ring + 1, dtype=np.int64)
+    src = np.repeat(i, ring)
+    dst = (src + np.tile(offs, n)) % n
+    ei = np.concatenate([base.edge_index, np.stack([src, dst])], axis=1)
+    k = np.unique(
+        np.concatenate([ei[0] * n + ei[1], ei[1] * n + ei[0]])
+    )
+    und = np.stack([k // n, k % n])
+    return NodeClassificationData(
+        und, base.x, base.y, base.train_mask, base.val_mask,
+        base.test_mask,
+    )
+
+
 def load_ogb_node(root: str) -> NodeClassificationData:
     """Load an OGB node-property dataset (e.g. ogbn-products) from disk.
 

@@ -190,21 +190,25 @@ def cost_xla_edges(nnz: int, n_rows: int, P: int) -> CostModel:
 FLASH_GAT_VPU_OPS_PER_ELT = 8
 
 
-def cost_flash_gat(B, F: int, H: int = 1) -> CostModel:
+def cost_flash_gat(
+    B, F: int, H: int = 1, n_chunks: int = 0, K: int = 128
+) -> CostModel:
     """Flash GAT forward (ops/flash_gat.py): per tile per head, the score
     elementwise math (VPU) + one exp per element (transcendental) + one
     tb x tb x F MXU matmul; tiles re-read per head, stats/outputs written
-    once per row block."""
+    once per row block. ``n_chunks`` adds the hybrid remainder chunk
+    steps ([tb, K] score grids + one-hot MXU; payloads VMEM-resident)."""
     tb = B.tb
     T = B.num_tiles
     itemsize = B.tiles.dtype.itemsize * (
         1 if B.tiles.shape[-1] == tb else B.tiles.shape[-1] / tb
     )
-    elems = float(H * T * tb * tb)
+    elems = float(H * (T * tb * tb + n_chunks * tb * K))
     return CostModel(
-        flops=2.0 * H * T * tb * tb * (F + 4),
+        flops=2.0 * H * (T * tb * tb + n_chunks * tb * K) * (F + 4),
         hbm_bytes=float(
             H * T * (tb * tb * itemsize + tb * F * 2 + 2 * tb * 4)
+            + H * n_chunks * K * (F + 1) * 4
             + H * B.n_row_tiles * tb * (F + 2) * 4
         ),
         note="flash-gat",
