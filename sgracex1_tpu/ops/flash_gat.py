@@ -113,10 +113,14 @@ def _norm_heads(s1, s2, Wh):
 
 
 def _hmaj(x):
-    """Head-last [N, H] / [N, H, F] -> head-major [H, N, 1] / [H, N, F]
-    (the 3-D layout whose (1, tb, last) blocks Mosaic accepts)."""
+    """Head-last [N, H] / [N, H, F] -> head-major [H, N] / [H, N, F].
+
+    Scores/stats stay 2-D: a trailing unit dim ([H, N, 1]) is 128x-
+    padded by the TPU tiled layout — 512 MB stored AND copied per
+    operand at 2^20 (r5 finding). Kernels read (1, tb) blocks and
+    relayout rows/columns in VMEM."""
     if x.ndim == 2:
-        return x.T[:, :, None]
+        return x.T
     return jnp.transpose(x, (1, 0, 2))
 
 
@@ -171,7 +175,8 @@ def _flash_gat_kernel(
 
     tb = s1_ref.shape[1]
     m01 = _tile_mask01(a_ref, tb)  # [tb, tb] f32 {0,1}
-    e = s1_ref[0] + s2_ref[0].reshape(1, -1)  # [tb, 1] + [1, tb]
+    # (1, tb) blocks: s1 relayouts to a [tb, 1] column, s2 is a row
+    e = s1_ref[...].reshape(-1, 1) + s2_ref[...]  # [tb, 1] + [1, tb]
     e = jnp.maximum(e, alpha * e)  # LeakyReLU (alpha in (0, 1))
     # additive mask: + 0 where edge (exact — the inner term is 0), - BIG
     # where not; no compare+select (1.7 slots) on the tile
@@ -195,8 +200,8 @@ def _flash_gat_kernel(
     def _():
         out_ref[0] = acc_ref[:] / jnp.maximum(l_ref[:], 1e-30)
         if m_out is not None:
-            m_out[0] = m_ref[:]
-            l_out[0] = l_ref[:]
+            m_out[...] = m_ref[:].reshape(1, -1)
+            l_out[...] = l_ref[:].reshape(1, -1)
 
 
 def _flash_gat_kernel_stats(
@@ -455,7 +460,7 @@ def flash_gat_forward(
             (1, tb, F), lambda h, g, rbs, cbs: (h, rbs[g] - rb_lo, 0)
         )
         stat_spec = pl.BlockSpec(
-            (1, tb, 1), lambda h, g, rbs, cbs: (h, rbs[g] - rb_lo, 0)
+            (1, tb), lambda h, g, rbs, cbs: (h, rbs[g] - rb_lo)
         )
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
@@ -466,10 +471,10 @@ def flash_gat_forward(
                     lambda h, g, rbs, cbs: (lo + g, 0, 0),
                 ),
                 pl.BlockSpec(
-                    (1, tb, 1), lambda h, g, rbs, cbs: (h, rbs[g], 0)
+                    (1, tb), lambda h, g, rbs, cbs: (h, rbs[g])
                 ),
                 pl.BlockSpec(
-                    (1, tb, 1), lambda h, g, rbs, cbs: (h, cbs[g], 0)
+                    (1, tb), lambda h, g, rbs, cbs: (h, cbs[g])
                 ),
                 pl.BlockSpec(
                     (1, tb, F), lambda h, g, rbs, cbs: (h, cbs[g], 0)
@@ -485,7 +490,7 @@ def flash_gat_forward(
             ],
         )
         out_shape = jax.ShapeDtypeStruct((H, nr * tb, F), jnp.float32)
-        stat_shape = jax.ShapeDtypeStruct((H, nr * tb, 1), jnp.float32)
+        stat_shape = jax.ShapeDtypeStruct((H, nr * tb), jnp.float32)
         return pl.pallas_call(
             partial(
                 _flash_gat_kernel_stats
@@ -528,7 +533,7 @@ def flash_gat_forward(
     if return_stats:
         out, m, l = res
         # stats head-LAST [n_rt*tb, H] for the (halo) callers
-        return shape_out(out), m[:, :, 0].T, l[:, :, 0].T
+        return shape_out(out), m.T, l.T
     return shape_out(res)
 
 
@@ -604,17 +609,20 @@ def _tile_probs(a_ref, s1, s2, m, l, alpha, fast_exp: bool = False):
     """Recompute one tile's softmax probabilities from saved (m, l) stats
     (same additive-mask / underflow form as the forward kernel).
 
-    s1/m/l: [tb, 1] column blocks; s2: [tb, 1] (transposed inside).
+    s1/m/l: [1, tb] ROW blocks (relayouted to columns here); s2: [1, tb].
     Returns (p, lrelu'-selector).
     """
-    m01 = _tile_mask01(a_ref, s1.shape[0])
-    e_pre = s1 + s2.reshape(1, -1)
+    tb_r = s1.shape[-1]
+    m01 = _tile_mask01(a_ref, tb_r)
+    e_pre = s1.reshape(-1, 1) + s2
     e = jnp.maximum(e_pre, alpha * e_pre)
     e = e + (m01 * _MASK_BIG - _MASK_BIG)
     # masked entries underflow to exact 0 (see _MASKED); padding rows have
     # m = 0, l = 0 from the stat padding -> p = exp(-1e9) = 0 there too
     exp_elt = _fast_exp if fast_exp else jnp.exp
-    p = exp_elt(e - m) / jnp.maximum(l, 1e-30)
+    p = exp_elt(e - m.reshape(-1, 1)) / jnp.maximum(
+        l.reshape(-1, 1), 1e-30
+    )
     lr = jnp.where(e_pre > 0, 1.0, alpha)
     return p, lr
 
@@ -639,7 +647,7 @@ def _flash_bwd_row_kernel(
         u2_ref[:] = jnp.zeros_like(u2_ref)
 
     p, lr = _tile_probs(
-        a_ref, s1_ref[0], s2_ref[0], m_ref[0], l_ref[0], alpha,
+        a_ref, s1_ref[...], s2_ref[...], m_ref[...], l_ref[...], alpha,
         fast_exp=fast_exp,
     )
     q = jax.lax.dot_general(
@@ -649,9 +657,9 @@ def _flash_bwd_row_kernel(
         preferred_element_type=jnp.float32,
     )  # [tb, tb]
     pq = p * q
-    t_ref[0] += jnp.sum(pq, axis=1, keepdims=True)
-    u1_ref[0] += jnp.sum(pq * lr, axis=1, keepdims=True)
-    u2_ref[0] += jnp.sum(p * lr, axis=1, keepdims=True)
+    t_ref[...] += jnp.sum(pq, axis=1, keepdims=True).reshape(1, -1)
+    u1_ref[...] += jnp.sum(pq * lr, axis=1, keepdims=True).reshape(1, -1)
+    u2_ref[...] += jnp.sum(p * lr, axis=1, keepdims=True).reshape(1, -1)
 
 
 def _flash_bwd_col_kernel(
@@ -673,7 +681,7 @@ def _flash_bwd_col_kernel(
         ds2_ref[:] = jnp.zeros_like(ds2_ref)
 
     p, lr = _tile_probs(
-        a_ref, s1_ref[0], s2_ref[0], m_ref[0], l_ref[0], alpha,
+        a_ref, s1_ref[...], s2_ref[...], m_ref[...], l_ref[...], alpha,
         fast_exp=fast_exp,
     )
     q = jax.lax.dot_general(
@@ -682,17 +690,17 @@ def _flash_bwd_col_kernel(
         (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
-    dE = p * (q - t_ref[0]) * lr  # [tb(r), tb(c)]
+    dE = p * (q - t_ref[...].reshape(-1, 1)) * lr  # [tb(r), tb(c)]
     dwh_ref[0] += jax.lax.dot_general(
         p.astype(jnp.bfloat16),
         go_ref[0].astype(jnp.bfloat16),
         (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )  # [tb(c), F]
-    ones = jnp.ones((dE.shape[0], 1), jnp.float32)
-    ds2_ref[0] += jax.lax.dot_general(
-        dE, ones, (((0,), (0,)), ((), ()))
-    )  # colsum as a matvec -> [tb(c), 1]
+    ones = jnp.ones((1, dE.shape[0]), jnp.float32)
+    ds2_ref[...] += jax.lax.dot_general(
+        ones, dE, (((1,), (0,)), ((), ()))
+    )  # colsum as a matvec -> [1, tb(c)]
 
 
 def _pad_bwd_operands(B: BSRMatrix, s1, s2, Wh, g_out):
@@ -731,10 +739,10 @@ def _bwd_row_pass(B, s1, s2, m, l, Wh, g_out, *, alpha, interpret,
     def _call(lo, hi, rb_lo, rb_hi):
         frac = (hi - lo) / T
         stat = pl.BlockSpec(
-            (1, tb, 1), lambda h, g, rbs, cbs: (h, rbs[g] - rb_lo, 0)
+            (1, tb), lambda h, g, rbs, cbs: (h, rbs[g] - rb_lo)
         )
         stat_in = pl.BlockSpec(
-            (1, tb, 1), lambda h, g, rbs, cbs: (h, rbs[g], 0)
+            (1, tb), lambda h, g, rbs, cbs: (h, rbs[g])
         )
         row_grid = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
@@ -746,7 +754,7 @@ def _bwd_row_pass(B, s1, s2, m, l, Wh, g_out, *, alpha, interpret,
                 ),
                 stat_in,
                 pl.BlockSpec(
-                    (1, tb, 1), lambda h, g, rbs, cbs: (h, cbs[g], 0)
+                    (1, tb), lambda h, g, rbs, cbs: (h, cbs[g])
                 ),
                 stat_in,
                 stat_in,
@@ -760,7 +768,7 @@ def _bwd_row_pass(B, s1, s2, m, l, Wh, g_out, *, alpha, interpret,
             out_specs=[stat, stat, stat],
         )
         stat_shape = jax.ShapeDtypeStruct(
-            (H, (rb_hi - rb_lo) * tb, 1), jnp.float32
+            (H, (rb_hi - rb_lo) * tb), jnp.float32
         )
         return pl.pallas_call(
             partial(_flash_bwd_row_kernel, alpha=alpha, fast_exp=fast_exp),
@@ -789,7 +797,7 @@ def _bwd_row_pass(B, s1, s2, m, l, Wh, g_out, *, alpha, interpret,
         t, u1, u2 = (
             jnp.concatenate([p[i] for p in parts], axis=1) for i in range(3)
         )
-    return t[:, :, 0].T, u1[:, :, 0].T, u2[:, :, 0].T
+    return t.T, u1.T, u2.T
 
 
 def _bwd_col_pass(B, s1, s2, m, l, t, Wh, g_out, *, alpha, interpret,
@@ -817,7 +825,7 @@ def _bwd_col_pass(B, s1, s2, m, l, t, Wh, g_out, *, alpha, interpret,
     def _call(lo, hi, cb_lo, cb_hi):
         frac = (hi - lo) / T
         rstat = pl.BlockSpec(
-            (1, tb, 1), lambda h, g, perm, rbs, cbs: (h, rbs[g], 0)
+            (1, tb), lambda h, g, perm, rbs, cbs: (h, rbs[g])
         )
         col_grid = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=3,
@@ -829,7 +837,7 @@ def _bwd_col_pass(B, s1, s2, m, l, t, Wh, g_out, *, alpha, interpret,
                 ),
                 rstat,
                 pl.BlockSpec(
-                    (1, tb, 1), lambda h, g, perm, rbs, cbs: (h, cbs[g], 0)
+                    (1, tb), lambda h, g, perm, rbs, cbs: (h, cbs[g])
                 ),
                 rstat,
                 rstat,
@@ -847,8 +855,8 @@ def _bwd_col_pass(B, s1, s2, m, l, t, Wh, g_out, *, alpha, interpret,
                     lambda h, g, perm, rbs, cbs: (h, cbs[g] - cb_lo, 0),
                 ),
                 pl.BlockSpec(
-                    (1, tb, 1),
-                    lambda h, g, perm, rbs, cbs: (h, cbs[g] - cb_lo, 0),
+                    (1, tb),
+                    lambda h, g, perm, rbs, cbs: (h, cbs[g] - cb_lo),
                 ),
             ],
         )
@@ -858,7 +866,7 @@ def _bwd_col_pass(B, s1, s2, m, l, t, Wh, g_out, *, alpha, interpret,
             grid_spec=col_grid,
             out_shape=[
                 jax.ShapeDtypeStruct((H, nc * tb, F), jnp.float32),
-                jax.ShapeDtypeStruct((H, nc * tb, 1), jnp.float32),
+                jax.ShapeDtypeStruct((H, nc * tb), jnp.float32),
             ],
             interpret=interpret,
             compiler_params=pltpu.CompilerParams(
@@ -884,7 +892,7 @@ def _bwd_col_pass(B, s1, s2, m, l, t, Wh, g_out, *, alpha, interpret,
         ds2 = jnp.concatenate([p[1] for p in parts], axis=1)
     return (
         jnp.transpose(dWh, (1, 0, 2)).reshape(n_ct * tb, H * F),
-        ds2[:, :, 0].T,
+        ds2.T,
     )
 
 
@@ -1013,7 +1021,7 @@ def _flash_hybrid_kernel(
     @pl.when(skind[g] != 1)
     def _():
         m01 = _tile_mask01(a_ref, tb)
-        e = s1_ref[0] + s2_ref[0].reshape(1, -1)
+        e = s1_ref[...].reshape(-1, 1) + s2_ref[...]
         e = jnp.maximum(e, alpha * e)
         _online_update(e + (m01 * _MASK_BIG - _MASK_BIG), wh_ref[0])
 
@@ -1048,7 +1056,7 @@ def _flash_hybrid_kernel(
                 )
                 return
             oh01 = (iota == lr).astype(jnp.float32)
-            e = s1_ref[0] + sg  # [tb, 1] + [1, K]
+            e = s1_ref[...].reshape(-1, 1) + sg  # [tb, 1] + [1, K]
             e = jnp.maximum(e, alpha * e)
             _online_update(e + (oh01 * _MASK_BIG - _MASK_BIG), feats)
 
@@ -1056,8 +1064,8 @@ def _flash_hybrid_kernel(
     def _():
         out_ref[0] = acc_ref[:] / jnp.maximum(l_ref[:], 1e-30)
         if m_out is not None:
-            m_out[0] = m_ref[:]
-            l_out[0] = l_ref[:]
+            m_out[...] = m_ref[:].reshape(1, -1)
+            l_out[...] = l_ref[:].reshape(1, -1)
 
 
 def _flash_hybrid_kernel_stats(
@@ -1114,12 +1122,22 @@ def flash_gat_hybrid_forward(
     # 4-byte random read per slot that pays a full HBM transaction each
     # (measured 15.4 ms for 390k slots at 2^20 rows — more than the
     # whole tile pass); ridden along the 4F-byte Wh row it is free.
+    # Rows are additionally padded to the 512-byte HBM transaction width
+    # when affordable: 132-byte rows still measured ~44 ns/slot (4.9 ms
+    # of the 2^20 hybrid), transaction-width rows gather at ~4 ns/slot.
+    lanes = H * (F + 1)
+    pad_lanes = 0
+    if lanes < 128 and Wh.shape[0] * 128 * 4 <= (2 << 30):
+        pad_lanes = 128 - lanes
     cat = jnp.concatenate(
-        [Wh.reshape(Wh.shape[0], H * F), s2], axis=1
-    )  # [N, H*(F+1)]
-    g = jnp.take(cat, plan.slot_col, axis=0)  # [R*K, H*(F+1)]
+        [Wh.reshape(Wh.shape[0], H * F), s2]
+        + ([jnp.zeros((Wh.shape[0], pad_lanes), Wh.dtype)]
+           if pad_lanes else []),
+        axis=1,
+    )  # [N, H*(F+1) (+pad)]
+    g = jnp.take(cat, plan.slot_col, axis=0)
     whg = g[:, : H * F]
-    s2g = g[:, H * F :]  # [R*K, H]
+    s2g = g[:, H * F : H * (F + 1)]  # [R*K, H]
     # head-major, sublane-padded like plan.lrow's [R, 8, K] layout
     s2g = jnp.pad(
         s2g.T.reshape(H, R, 1, K), ((0, 0), (0, 0), (0, 7), (0, 0))
@@ -1161,8 +1179,8 @@ def flash_gat_hybrid_forward(
             lambda h, g, rb, cb, ti, ch, kd: (h, rb[g] - rb_lo, 0),
         )
         stat_spec = pl.BlockSpec(
-            (1, tb, 1),
-            lambda h, g, rb, cb, ti, ch, kd: (h, rb[g] - rb_lo, 0),
+            (1, tb),
+            lambda h, g, rb, cb, ti, ch, kd: (h, rb[g] - rb_lo),
         )
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=5,
@@ -1173,12 +1191,12 @@ def flash_gat_hybrid_forward(
                     lambda h, g, rb, cb, ti, ch, kd: (ti[g], 0, 0),
                 ),
                 pl.BlockSpec(
-                    (1, tb, 1),
-                    lambda h, g, rb, cb, ti, ch, kd: (h, rb[g], 0),
+                    (1, tb),
+                    lambda h, g, rb, cb, ti, ch, kd: (h, rb[g]),
                 ),
                 pl.BlockSpec(
-                    (1, tb, 1),
-                    lambda h, g, rb, cb, ti, ch, kd: (h, cb[g], 0),
+                    (1, tb),
+                    lambda h, g, rb, cb, ti, ch, kd: (h, cb[g]),
                 ),
                 pl.BlockSpec(
                     (1, tb, F),
@@ -1221,7 +1239,7 @@ def flash_gat_hybrid_forward(
             ],
         )
         out_shape = jax.ShapeDtypeStruct((H, nr * tb, F), jnp.float32)
-        stat_shape = jax.ShapeDtypeStruct((H, nr * tb, 1), jnp.float32)
+        stat_shape = jax.ShapeDtypeStruct((H, nr * tb), jnp.float32)
         T = B.num_tiles
         return pl.pallas_call(
             partial(
@@ -1287,7 +1305,7 @@ def flash_gat_hybrid_forward(
 
     if return_stats:
         out, m, l = res
-        return shape_out(out), m[:, :, 0].T, l[:, :, 0].T
+        return shape_out(out), m.T, l.T
     return shape_out(res)
 
 

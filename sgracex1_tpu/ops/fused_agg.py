@@ -61,8 +61,9 @@ class FusedAggPlan:
     output rows as f32 (sentinel tb = dead slot; f32 because v5e has no
     cheap small-int vector compare), ``slot_col``/``slot_scale`` drive
     the in-jit gather ``G = H[slot_col] * slot_scale``. ``colscale`` /
-    ``rowscale`` are the rank-1 diagonal scalings shaped [n, tb, 1] (None
-    for value-tile plans)."""
+    ``rowscale`` are the rank-1 diagonal scalings shaped [n, tb] (2-D —
+    a trailing unit dim would be 128x-padded by the TPU tiled layout;
+    None for value-tile plans)."""
 
     B: BSRMatrix
     step_rb: jax.Array  # int32[S+1]
@@ -73,8 +74,8 @@ class FusedAggPlan:
     lrow: jax.Array  # f32[R, 8, K]
     slot_col: jax.Array  # int32[R*K]
     slot_scale: jax.Array  # f32[R*K]
-    colscale: Optional[jax.Array]  # f32[n_ct, tb, 1]
-    rowscale: Optional[jax.Array]  # f32[n_rt, tb, 1]
+    colscale: Optional[jax.Array]  # f32[n_ct, 8, tb]
+    rowscale: Optional[jax.Array]  # f32[n_rt, 8, tb]
     K: int = dataclasses.field(metadata=dict(static=True))
     # static (step_lo, step_hi, rb_lo, rb_hi) call slices: schedules past
     # _MAX_STEPS are split at row-block-run boundaries into multiple
@@ -394,8 +395,19 @@ def build_fused_plan(
         cs[: len(r1_col)] = r1_col
         rs = np.zeros(n_rt * tb, np.float32)
         rs[: len(r1_row)] = r1_row
-        colscale = dev(cs.reshape(n_ct, tb, 1))
-        rowscale = dev(rs.reshape(n_rt, tb, 1))
+        # [n, 8, tb] with data in sublane row 0 (the lrow pattern) —
+        # NOT [n, tb, 1]: TPU tiled layouts pad a trailing unit dim to
+        # 128 lanes, so that form stored (and copied) 128x its logical
+        # bytes — 512 MB per scale at 2^20, 2 GB at 2^22 (the r5
+        # products-density OOM). 8 sublanes keep the (8, 128) block
+        # rule; the kernel reads row 0 and relayouts to [tb, 1].
+        def _rows8(v, nblk):
+            out = np.zeros((nblk, 8, tb), np.float32)
+            out[:, 0, :] = v.reshape(nblk, tb)
+            return out
+
+        colscale = dev(_rows8(cs, n_ct))
+        rowscale = dev(_rows8(rs, n_rt))
     return FusedAggPlan(
         B=B,
         step_rb=dev(s_rb),
@@ -527,7 +539,8 @@ def _fused_kernel(
             a = a.astype(jnp.bfloat16)
         h = h_ref[:]
         if with_scales:
-            h = h * cs_ref[0].astype(jnp.bfloat16)  # [tb, 1] broadcast
+            # row 0 of the (1, 8, tb) block -> [tb, 1] column relayout
+            h = h * cs_ref[0, 0:1, :].reshape(-1, 1).astype(jnp.bfloat16)
         acc_ref[:] += jax.lax.dot_general(
             a, h, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -556,7 +569,7 @@ def _fused_kernel(
     def _():
         o = acc_ref[:]
         if with_scales:
-            o = o * rs_ref[0]  # [tb, 1] broadcast
+            o = o * rs_ref[0, 0:1, :].reshape(-1, 1)
         out_ref[:] = o.astype(out_ref.dtype)
 
 
@@ -598,10 +611,10 @@ def bsr_spmm_fused(
     if with_scales:
         in_specs += [
             pl.BlockSpec(
-                (1, tb, 1), lambda g, rb, cb, ti, ch, kd: (cb[g], 0, 0)
+                (1, 8, tb), lambda g, rb, cb, ti, ch, kd: (cb[g], 0, 0)
             ),
             pl.BlockSpec(
-                (1, tb, 1), lambda g, rb, cb, ti, ch, kd: (rb[g], 0, 0)
+                (1, 8, tb), lambda g, rb, cb, ti, ch, kd: (rb[g], 0, 0)
             ),
         ]
         operands += [plan.colscale, plan.rowscale]
@@ -708,7 +721,9 @@ def _fused_kernel_k(
                 a = a.astype(jnp.bfloat16)
             h = h_ref[:]
             if with_scales:
-                h = h * cs_ref[0].astype(jnp.bfloat16)
+                h = h * cs_ref[0, 0:1, :].reshape(-1, 1).astype(
+                    jnp.bfloat16
+                )
             acc_ref[:] += jax.lax.dot_general(
                 a, h, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
@@ -732,7 +747,7 @@ def _fused_kernel_k(
     def _():
         o = acc_ref[:]
         if with_scales:
-            o = o * rs_ref[0]
+            o = o * rs_ref[0, 0:1, :].reshape(-1, 1)
         out_ref[:] = o.astype(out_ref.dtype)
 
 
@@ -784,7 +799,7 @@ def bsr_spmm_fused_k(
         ]
         if with_scales:
             specs.append(pl.BlockSpec(
-                (1, tb, 1),
+                (1, 8, tb),
                 lambda g, rb, cb, ti, ch, kd, i=i: (cb[k * g + i], 0, 0),
             ))
         return specs
@@ -799,7 +814,7 @@ def bsr_spmm_fused_k(
         operands += per
     if with_scales:
         in_specs.append(pl.BlockSpec(
-            (1, tb, 1),
+            (1, 8, tb),
             lambda g, rb, cb, ti, ch, kd: (rb[k * g], 0, 0),
         ))
         operands.append(plan.rowscale)

@@ -79,7 +79,7 @@ class HaloFusedPlan:
     lrow: jax.Array  # f32[S, R, 8, K]
     slot_col: jax.Array  # int32[S, R*K]
     slot_scale: jax.Array  # f32[S, R*K]
-    colscale: Optional[jax.Array]  # f32[S, n_ct, tb, 1]
+    colscale: Optional[jax.Array]  # f32[S, n_ct, tb]
     rowscale: Optional[jax.Array]
     tiles_t: jax.Array
     step_rb_t: jax.Array
@@ -242,24 +242,38 @@ def _stack_plans(plans, tb: int, K: int):
 
 def _choose_shard_tb(A_ls, rank1: bool, tbs=(256, 512, 1024)) -> int:
     """Tile size for the per-shard local blocks, by the SAME calibrated
-    hybrid cost model the single-chip path uses (_estimate_backend_costs)
-    summed over every shard's actual tile population. Per-shard local
-    blocks have S-fold fewer rows than the global graph, so the optimal
-    tb is generally smaller than the single-chip choice (VERDICT r4
-    weak #5: nothing chose it before — tb was hardcoded 1024)."""
-    from sgracex1_tpu.ops.dispatch import _estimate_backend_costs
-
-    best = None
-    for tb in tbs:
-        tot = 0.0
-        for A_l in A_ls:
-            costs, _, _ = _estimate_backend_costs(
-                A_l, jnp.bfloat16, tbs=(tb,), rank1=rank1
+    hybrid cost constants the single-chip path uses, summed over every
+    shard's actual tile population. Per-shard local blocks have S-fold
+    fewer rows than the global graph, so the optimal tb is generally
+    smaller than the single-chip choice (VERDICT r4 weak #5: nothing
+    chose it before — tb was hardcoded 1024). Inlined (one np.unique
+    per (shard, tb)) — routing through _estimate_backend_costs redid
+    the dense/xla/pallas terms per call, ~4x the host work at 2^22."""
+    tots = {tb: 0.0 for tb in tbs}
+    for A_l in A_ls:
+        r = np.asarray(A_l.rows[: A_l.nnz]).astype(np.int64)
+        c = np.asarray(A_l.cols[: A_l.nnz]).astype(np.int64)
+        for tb in tbs:
+            uniq, counts = np.unique(
+                (r // tb) << 32 | (c // tb), return_counts=True
             )
-            tot += costs["hybrid"]
-        if best is None or tot < best[0]:
-            best = (tot, tb)
-    return best[1]
+            if len(counts) == 0:
+                continue
+            tc = _tile_cost_s(tb, _tile_itemsize(tb, rank1, 2))
+            thresh = int(np.ceil(
+                tc / (_REST_SLOT_S + _REST_CHUNK_S / _REST_K)
+            ))
+            dense = counts >= thresh
+            rest_by_rb = np.bincount(
+                (uniq >> 32)[~dense].astype(np.int64),
+                weights=counts[~dense].astype(np.float64),
+            )
+            tots[tb] += (
+                int(dense.sum()) * tc
+                + np.ceil(rest_by_rb / _REST_K).sum() * _REST_CHUNK_S
+                + counts[~dense].sum() * _REST_SLOT_S
+            )
+    return min(tots, key=tots.get)
 
 
 def build_halo_fused(
