@@ -221,9 +221,11 @@ def phase_pubmed_flash_gat():
     Wh = jax.device_put(rng.standard_normal((N, F)).astype(np.float32))
     s1 = jax.device_put(rng.standard_normal(N).astype(np.float32))
     s2 = jax.device_put(rng.standard_normal(N).astype(np.float32))
-    # product prep path: the chooser picks the attention layout (r5: a
-    # tb=256 HYBRID split with resident chunk payloads — 0.63 ms vs the
-    # 0.72 of the old fixed tb=1024 full cover)
+    # product prep paths: the chooser prices fwd+bwd for training
+    # (pubmed: full-cover tb=1024) and fwd only for inference (pubmed:
+    # tb=256 hybrid with resident chunks, ~20% faster forward) — the
+    # fwd measurement uses the inference layout, the train step the
+    # training layout, each the product-optimal choice
     from sgracex1_tpu.ops.dispatch import prepare_adjacency
     from sgracex1_tpu.ops.flash_gat import (
         flash_gat_hybrid_forward,
@@ -231,6 +233,10 @@ def phase_pubmed_flash_gat():
     )
 
     prep = jax.device_put(
+        prepare_adjacency(adj, method="xla", for_gat=True,
+                          gat_train=False)
+    )
+    prep_t = jax.device_put(
         prepare_adjacency(adj, method="xla", for_gat=True)
     )
     B = prep.gat_bsr
@@ -284,20 +290,22 @@ def phase_pubmed_flash_gat():
     }
     opt = optax.adam(1e-3)
 
-    def train_step(carry, B, X):
+    def train_step(carry, prep_t, X):
         params, opt_state = carry
 
         def loss_fn(p):
             Wh = jnp.dot(X, p["W"], preferred_element_type=jnp.float32)
             s1 = Wh @ p["att"][:F]
             s2 = Wh @ p["att"][F:]
-            if hybrid:
+            if prep_t.gat_plan is not None:
                 out = gat_attention_agg_hybrid(
-                    prep.gat_plan, prep.gat_rest, s1, s2, Wh, 0.2,
-                    prep.gat_rest.rows_sorted,
+                    prep_t.gat_plan, prep_t.gat_rest, s1, s2, Wh, 0.2,
+                    prep_t.gat_rest.rows_sorted,
                 )
             else:
-                out = gat_attention_agg_fused(B, s1, s2, Wh, 0.2)
+                out = gat_attention_agg_fused(
+                    prep_t.gat_bsr, s1, s2, Wh, 0.2
+                )
             return jnp.sum(out**2) * 1e-9
 
         g = jax.grad(loss_fn)(params)
@@ -305,14 +313,19 @@ def phase_pubmed_flash_gat():
         return (optax.apply_updates(params, updates), opt_state)
 
     carry = (params, opt.init(params))
-    tp = TwoPoint(train_step, carry, consts=(B, X), k1=30, k2=180)
+    tp = TwoPoint(train_step, carry, consts=(prep_t, X), k1=30, k2=180)
     sec_t = float(np.median([tp.estimate() for _ in range(3)]))
     from sgracex1_tpu.utils.roofline import cost_flash_gat_bwd
 
     # the step is fwd + fused two-pass backward (X@W, the score matvecs,
     # and Adam are <2% of the modeled time at these shapes)
+    Bt = prep_t.gat_bsr
+    cht = (
+        prep_t.gat_plan.num_rest_chunks
+        if prep_t.gat_plan is not None else 0
+    )
     rl_t = (
-        cost_flash_gat(B, F, n_chunks=n_ch) + cost_flash_gat_bwd(B, F)
+        cost_flash_gat(Bt, F, n_chunks=cht) + cost_flash_gat_bwd(Bt, F)
     ).roofline(sec_t)
     log(
         f"pubmed flash GAT train step (fwd+bwd+Adam): {sec_t*1e3:.4f} ms "

@@ -275,6 +275,17 @@ _FLASH_CHUNK_K = 128
 _FLASH_CHUNK_RES_S = 0.45e-6
 _FLASH_CHUNK_STREAM_S = 6.7e-6
 _FLASH_PAYLOAD_F = 64  # assumed H*(F+1) for the residency estimate
+# training weights: the fused backward runs TWO more tile passes (row +
+# col) of comparable per-tile cost, while the hybrid's remainder
+# gradient rides the edge path (per-edge segment reductions — measured
+# ~60 ns/edge effective at pubmed scale plus a fixed merge cost).
+# r5 bench caught the fwd-only chooser regressing the pubmed TRAIN step
+# 3.09 -> 5.55 ms: the hybrid's fwd win (0.72 -> 0.58) lost more in its
+# edge-path backward (~20 XLA segment/gather ops: the fixed term is
+# ~0.8 ms at pubmed scale, larger than the per-edge term there).
+_FLASH_TRAIN_PASSES = 3.0
+_FLASH_EDGE_BWD_S = 60e-9
+_FLASH_BWD_FIXED_S = 800e-6
 # fixed cost of engaging the hybrid path (the in-jit slot gathers and
 # head-major reshapes around the kernel) — keeps small graphs where the
 # full cover is already sub-ms (pubmed) from flapping to hybrid for
@@ -314,7 +325,7 @@ def _choose_flash_tb(A: SparseMatrix, n: int) -> tuple[int, bool]:
 
 
 def _choose_flash_plan(
-    A: SparseMatrix, n: int, *, hybrid: bool = True
+    A: SparseMatrix, n: int, *, hybrid: bool = True, train: bool = True
 ) -> tuple[int, bool, Optional[int]]:
     """(tb, packed, rest_thresh) for the flash-GAT attention path, by the
     measured model ``T(tb) * (tb^2 * elt + step)`` over this graph's
@@ -335,6 +346,9 @@ def _choose_flash_plan(
     r = np.asarray(A.rows[: A.nnz]).astype(np.int64)
     c = np.asarray(A.cols[: A.nnz]).astype(np.int64)
     K = _FLASH_CHUNK_K
+    # training (default) prices fwd + the two backward tile passes; the
+    # hybrid's remainder gradient additionally rides the edge path
+    passes = _FLASH_TRAIN_PASSES if train else 1.0
     best = None  # (est, tb, packed, thresh)
     for tb in (256, 512, 1024):
         keys = (r // tb) << 32 | (c // tb)
@@ -345,7 +359,7 @@ def _choose_flash_plan(
             tile_bytes = tb * tb / (8.0 if packed else 1.0)
             tc = _flash_tile_s(tb, packed)
             if T * tile_bytes <= _FLASH_TILE_BUDGET:
-                est = T * tc + runs_full * _flash_run_s(tb)
+                est = passes * (T * tc + runs_full * _flash_run_s(tb))
                 if best is None or est < best[0]:
                     best = (est, tb, packed, None)
             if not hybrid:
@@ -376,11 +390,17 @@ def _choose_flash_plan(
                 cover = (n_rt - runs_d) + (
                     n_ct - len(np.unique((uniq & 0xFFFFFFFF)[dense]))
                 )
+                e_rest = int(counts[~dense].sum())
                 est_h = (
-                    (T_d + cover) * tc
-                    + n_rt * _flash_run_s(tb)
+                    passes * (
+                        (T_d + cover) * tc + n_rt * _flash_run_s(tb)
+                    )
                     + n_chunks * cc
                     + _FLASH_HYBRID_FIXED_S
+                    + (
+                        e_rest * _FLASH_EDGE_BWD_S + _FLASH_BWD_FIXED_S
+                        if train else 0.0
+                    )
                 )
                 if (T_d + cover) * tile_bytes <= _FLASH_TILE_BUDGET and (
                     best is None or est_h < best[0]
@@ -423,6 +443,7 @@ def prepare_adjacency(
     rank1_factors=None,
     build_transpose: bool = True,
     fuse: bool = True,
+    gat_train: bool = True,
 ) -> PreparedAdjacency:
     """Choose and precompute the aggregation backend for a graph.
 
@@ -430,11 +451,14 @@ def prepare_adjacency(
     over the actual tile population of this graph — RCM-reorder the graph
     first (graph/reorder.py) to unlock the block-sparse paths.
 
-    ``for_gat`` additionally attaches int8 mask tiles even when the chosen
-    GCN aggregation backend is not ``bsr``, so GATConv's fused
-    flash-attention path (13x over the edge path) engages — the mask tiles
-    are what the flash kernel reads, independent of how plain ``A @ H``
-    aggregation runs.
+    ``for_gat`` additionally attaches the flash-attention layout (mask
+    tiles, and at scale the hybrid tile/chunk split) even when the
+    chosen GCN aggregation backend is not ``bsr``, so GATConv's fused
+    flash path engages. ``gat_train`` (default True) makes the layout
+    chooser price forward AND backward; inference-only consumers can
+    pass False — at pubmed scale that flips to a hybrid split whose
+    forward is ~20% faster but whose edge-path gradient would cost more
+    than it saves in training.
 
     ``rank1`` (default on) detects a diagonal factorization of the edge
     values (sym-normalized unweighted adjacencies have one —
@@ -504,7 +528,9 @@ def prepare_adjacency(
                 bsr_mask_from_sparse,
             )
 
-            gat_tb, use_packed, gat_thresh = _choose_flash_plan(A, n)
+            gat_tb, use_packed, gat_thresh = _choose_flash_plan(
+                A, n, train=gat_train
+            )
             build = (
                 bsr_bitmask_from_sparse if use_packed
                 else bsr_mask_from_sparse

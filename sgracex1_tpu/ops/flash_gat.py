@@ -124,6 +124,22 @@ def _hmaj(x):
     return jnp.transpose(x, (1, 0, 2))
 
 
+def _hstat(x, tb: int):
+    """Head-major scores/stats [H, Npad] -> the 4-D sublane-padded form
+    [H, Npad/tb, 8, tb] (data in sublane row 0) whose (1, 1, 8, tb)
+    blocks satisfy Mosaic's (8, 128) block rule for EVERY head count —
+    2-D (1, tb) blocks are only legal when H == 1 (the r5 bench caught
+    H=4 failing to lower)."""
+    H, Np = x.shape
+    x = x.reshape(H, Np // tb, 1, tb)
+    return jnp.pad(x, ((0, 0), (0, 0), (0, 7), (0, 0)))
+
+
+def _unstat(x):
+    """[H, nb, 8, tb] stat output -> head-last [nb*tb, H]."""
+    return x[:, :, 0, :].reshape(x.shape[0], -1).T
+
+
 def _tile_mask01(a_ref, tb: int):
     """Adjacency tile -> f32 {0,1} mask, for the additive-mask form.
 
@@ -173,10 +189,11 @@ def _flash_gat_kernel(
         l_ref[:] = jnp.zeros_like(l_ref)
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    tb = s1_ref.shape[1]
+    tb = s1_ref.shape[-1]
     m01 = _tile_mask01(a_ref, tb)  # [tb, tb] f32 {0,1}
-    # (1, tb) blocks: s1 relayouts to a [tb, 1] column, s2 is a row
-    e = s1_ref[...].reshape(-1, 1) + s2_ref[...]  # [tb, 1] + [1, tb]
+    # (1, 1, 8, tb) stat blocks, data in sublane 0: s1 relayouts to a
+    # [tb, 1] column, s2 is a row
+    e = s1_ref[0, 0, 0:1, :].reshape(-1, 1) + s2_ref[0, 0, 0:1, :]
     e = jnp.maximum(e, alpha * e)  # LeakyReLU (alpha in (0, 1))
     # additive mask: + 0 where edge (exact — the inner term is 0), - BIG
     # where not; no compare+select (1.7 slots) on the tile
@@ -200,8 +217,12 @@ def _flash_gat_kernel(
     def _():
         out_ref[0] = acc_ref[:] / jnp.maximum(l_ref[:], 1e-30)
         if m_out is not None:
-            m_out[...] = m_ref[:].reshape(1, -1)
-            l_out[...] = l_ref[:].reshape(1, -1)
+            m_out[0, 0] = jnp.broadcast_to(
+                m_ref[:].reshape(1, -1), m_out.shape[2:]
+            )
+            l_out[0, 0] = jnp.broadcast_to(
+                l_ref[:].reshape(1, -1), l_out.shape[2:]
+            )
 
 
 def _flash_gat_kernel_stats(
@@ -391,7 +412,8 @@ def flash_gat_forward_subskip(
         ),
     )(
         B.tile_rb, B.tile_cb, jnp.asarray(pop),
-        B.tiles, _hmaj(s1), _hmaj(s2), _hmaj(Wh),
+        B.tiles, _hmaj(s1)[:, :, None], _hmaj(s2)[:, :, None],
+        _hmaj(Wh),
     )
     o = jnp.transpose(res, (1, 0, 2))[: B.n_rows]
     return o[:, 0, :] if squeeze else o
@@ -451,7 +473,9 @@ def flash_gat_forward(
     # the 25k-step fused schedule at 2^23, see ops/bsr.BSRMatrix.slices)
     slices = B.slices if B.slices is not None else ((0, T, 0, n_rt),)
 
-    s1h, s2h, Whh = _hmaj(s1), _hmaj(s2), _hmaj(Wh)
+    s1h = _hstat(_hmaj(s1), tb)
+    s2h = _hstat(_hmaj(s2), tb)
+    Whh = _hmaj(Wh)
 
     def _call(lo, hi, rb_lo, rb_hi):
         nr = rb_hi - rb_lo
@@ -460,7 +484,8 @@ def flash_gat_forward(
             (1, tb, F), lambda h, g, rbs, cbs: (h, rbs[g] - rb_lo, 0)
         )
         stat_spec = pl.BlockSpec(
-            (1, tb), lambda h, g, rbs, cbs: (h, rbs[g] - rb_lo)
+            (1, 1, 8, tb),
+            lambda h, g, rbs, cbs: (h, rbs[g] - rb_lo, 0, 0),
         )
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
@@ -471,10 +496,12 @@ def flash_gat_forward(
                     lambda h, g, rbs, cbs: (lo + g, 0, 0),
                 ),
                 pl.BlockSpec(
-                    (1, tb), lambda h, g, rbs, cbs: (h, rbs[g])
+                    (1, 1, 8, tb),
+                    lambda h, g, rbs, cbs: (h, rbs[g], 0, 0),
                 ),
                 pl.BlockSpec(
-                    (1, tb), lambda h, g, rbs, cbs: (h, cbs[g])
+                    (1, 1, 8, tb),
+                    lambda h, g, rbs, cbs: (h, cbs[g], 0, 0),
                 ),
                 pl.BlockSpec(
                     (1, tb, F), lambda h, g, rbs, cbs: (h, cbs[g], 0)
@@ -490,7 +517,9 @@ def flash_gat_forward(
             ],
         )
         out_shape = jax.ShapeDtypeStruct((H, nr * tb, F), jnp.float32)
-        stat_shape = jax.ShapeDtypeStruct((H, nr * tb), jnp.float32)
+        stat_shape = jax.ShapeDtypeStruct(
+            (H, nr, 8, tb), jnp.float32
+        )
         return pl.pallas_call(
             partial(
                 _flash_gat_kernel_stats
@@ -533,7 +562,7 @@ def flash_gat_forward(
     if return_stats:
         out, m, l = res
         # stats head-LAST [n_rt*tb, H] for the (halo) callers
-        return shape_out(out), m.T, l.T
+        return shape_out(out), _unstat(m), _unstat(l)
     return shape_out(res)
 
 
@@ -647,7 +676,8 @@ def _flash_bwd_row_kernel(
         u2_ref[:] = jnp.zeros_like(u2_ref)
 
     p, lr = _tile_probs(
-        a_ref, s1_ref[...], s2_ref[...], m_ref[...], l_ref[...], alpha,
+        a_ref, s1_ref[0, 0, 0:1, :], s2_ref[0, 0, 0:1, :],
+        m_ref[0, 0, 0:1, :], l_ref[0, 0, 0:1, :], alpha,
         fast_exp=fast_exp,
     )
     q = jax.lax.dot_general(
@@ -657,9 +687,14 @@ def _flash_bwd_row_kernel(
         preferred_element_type=jnp.float32,
     )  # [tb, tb]
     pq = p * q
-    t_ref[...] += jnp.sum(pq, axis=1, keepdims=True).reshape(1, -1)
-    u1_ref[...] += jnp.sum(pq * lr, axis=1, keepdims=True).reshape(1, -1)
-    u2_ref[...] += jnp.sum(p * lr, axis=1, keepdims=True).reshape(1, -1)
+
+    def _acc_row(ref, val):
+        # all 8 sublane rows accumulate identically; consumers read row 0
+        ref[0, 0] += jnp.broadcast_to(val.reshape(1, -1), ref.shape[2:])
+
+    _acc_row(t_ref, jnp.sum(pq, axis=1))
+    _acc_row(u1_ref, jnp.sum(pq * lr, axis=1))
+    _acc_row(u2_ref, jnp.sum(p * lr, axis=1))
 
 
 def _flash_bwd_col_kernel(
@@ -681,7 +716,8 @@ def _flash_bwd_col_kernel(
         ds2_ref[:] = jnp.zeros_like(ds2_ref)
 
     p, lr = _tile_probs(
-        a_ref, s1_ref[...], s2_ref[...], m_ref[...], l_ref[...], alpha,
+        a_ref, s1_ref[0, 0, 0:1, :], s2_ref[0, 0, 0:1, :],
+        m_ref[0, 0, 0:1, :], l_ref[0, 0, 0:1, :], alpha,
         fast_exp=fast_exp,
     )
     q = jax.lax.dot_general(
@@ -690,7 +726,9 @@ def _flash_bwd_col_kernel(
         (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
-    dE = p * (q - t_ref[...].reshape(-1, 1)) * lr  # [tb(r), tb(c)]
+    dE = (
+        p * (q - t_ref[0, 0, 0:1, :].reshape(-1, 1)) * lr
+    )  # [tb(r), tb(c)]
     dwh_ref[0] += jax.lax.dot_general(
         p.astype(jnp.bfloat16),
         go_ref[0].astype(jnp.bfloat16),
@@ -698,9 +736,10 @@ def _flash_bwd_col_kernel(
         preferred_element_type=jnp.float32,
     )  # [tb(c), F]
     ones = jnp.ones((1, dE.shape[0]), jnp.float32)
-    ds2_ref[...] += jax.lax.dot_general(
+    colsum = jax.lax.dot_general(
         ones, dE, (((1,), (0,)), ((), ()))
-    )  # colsum as a matvec -> [1, tb(c)]
+    )  # [1, tb(c)]
+    ds2_ref[0, 0] += jnp.broadcast_to(colsum, ds2_ref.shape[2:])
 
 
 def _pad_bwd_operands(B: BSRMatrix, s1, s2, Wh, g_out):
@@ -733,16 +772,20 @@ def _bwd_row_pass(B, s1, s2, m, l, Wh, g_out, *, alpha, interpret,
     F = Wh.shape[1] // H
     W3 = _hmaj(Wh.reshape(-1, H, F))
     G3 = _hmaj(g_out.reshape(-1, H, F))
-    s1h, s2h, mh, lh = _hmaj(s1), _hmaj(s2), _hmaj(m), _hmaj(l)
+    s1h = _hstat(_hmaj(s1), tb)
+    s2h = _hstat(_hmaj(s2), tb)
+    mh = _hstat(_hmaj(m), tb)
+    lh = _hstat(_hmaj(l), tb)
     slices = B.slices if B.slices is not None else ((0, T, 0, n_rt),)
 
     def _call(lo, hi, rb_lo, rb_hi):
         frac = (hi - lo) / T
         stat = pl.BlockSpec(
-            (1, tb), lambda h, g, rbs, cbs: (h, rbs[g] - rb_lo)
+            (1, 1, 8, tb),
+            lambda h, g, rbs, cbs: (h, rbs[g] - rb_lo, 0, 0),
         )
         stat_in = pl.BlockSpec(
-            (1, tb), lambda h, g, rbs, cbs: (h, rbs[g])
+            (1, 1, 8, tb), lambda h, g, rbs, cbs: (h, rbs[g], 0, 0)
         )
         row_grid = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
@@ -754,7 +797,8 @@ def _bwd_row_pass(B, s1, s2, m, l, Wh, g_out, *, alpha, interpret,
                 ),
                 stat_in,
                 pl.BlockSpec(
-                    (1, tb), lambda h, g, rbs, cbs: (h, cbs[g])
+                    (1, 1, 8, tb),
+                    lambda h, g, rbs, cbs: (h, cbs[g], 0, 0),
                 ),
                 stat_in,
                 stat_in,
@@ -768,7 +812,7 @@ def _bwd_row_pass(B, s1, s2, m, l, Wh, g_out, *, alpha, interpret,
             out_specs=[stat, stat, stat],
         )
         stat_shape = jax.ShapeDtypeStruct(
-            (H, (rb_hi - rb_lo) * tb), jnp.float32
+            (H, rb_hi - rb_lo, 8, tb), jnp.float32
         )
         return pl.pallas_call(
             partial(_flash_bwd_row_kernel, alpha=alpha, fast_exp=fast_exp),
@@ -797,7 +841,7 @@ def _bwd_row_pass(B, s1, s2, m, l, Wh, g_out, *, alpha, interpret,
         t, u1, u2 = (
             jnp.concatenate([p[i] for p in parts], axis=1) for i in range(3)
         )
-    return t.T, u1.T, u2.T
+    return _unstat(t), _unstat(u1), _unstat(u2)
 
 
 def _bwd_col_pass(B, s1, s2, m, l, t, Wh, g_out, *, alpha, interpret,
@@ -815,9 +859,11 @@ def _bwd_col_pass(B, s1, s2, m, l, t, Wh, g_out, *, alpha, interpret,
     perm = jnp.argsort(B.tile_cb)
     rbs_c = jnp.take(B.tile_rb, perm)
     cbs_c = jnp.take(B.tile_cb, perm)
-    s1h, s2h, mh, lh, th = (
-        _hmaj(s1), _hmaj(s2), _hmaj(m), _hmaj(l), _hmaj(t)
-    )
+    s1h = _hstat(_hmaj(s1), tb)
+    s2h = _hstat(_hmaj(s2), tb)
+    mh = _hstat(_hmaj(m), tb)
+    lh = _hstat(_hmaj(l), tb)
+    th = _hstat(_hmaj(t), tb)
     slices = (
         B.slices_col if B.slices_col is not None else ((0, T, 0, n_ct),)
     )
@@ -825,7 +871,8 @@ def _bwd_col_pass(B, s1, s2, m, l, t, Wh, g_out, *, alpha, interpret,
     def _call(lo, hi, cb_lo, cb_hi):
         frac = (hi - lo) / T
         rstat = pl.BlockSpec(
-            (1, tb), lambda h, g, perm, rbs, cbs: (h, rbs[g])
+            (1, 1, 8, tb),
+            lambda h, g, perm, rbs, cbs: (h, rbs[g], 0, 0),
         )
         col_grid = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=3,
@@ -837,7 +884,8 @@ def _bwd_col_pass(B, s1, s2, m, l, t, Wh, g_out, *, alpha, interpret,
                 ),
                 rstat,
                 pl.BlockSpec(
-                    (1, tb), lambda h, g, perm, rbs, cbs: (h, cbs[g])
+                    (1, 1, 8, tb),
+                    lambda h, g, perm, rbs, cbs: (h, cbs[g], 0, 0),
                 ),
                 rstat,
                 rstat,
@@ -855,8 +903,10 @@ def _bwd_col_pass(B, s1, s2, m, l, t, Wh, g_out, *, alpha, interpret,
                     lambda h, g, perm, rbs, cbs: (h, cbs[g] - cb_lo, 0),
                 ),
                 pl.BlockSpec(
-                    (1, tb),
-                    lambda h, g, perm, rbs, cbs: (h, cbs[g] - cb_lo),
+                    (1, 1, 8, tb),
+                    lambda h, g, perm, rbs, cbs: (
+                        h, cbs[g] - cb_lo, 0, 0
+                    ),
                 ),
             ],
         )
@@ -866,7 +916,7 @@ def _bwd_col_pass(B, s1, s2, m, l, t, Wh, g_out, *, alpha, interpret,
             grid_spec=col_grid,
             out_shape=[
                 jax.ShapeDtypeStruct((H, nc * tb, F), jnp.float32),
-                jax.ShapeDtypeStruct((H, nc * tb), jnp.float32),
+                jax.ShapeDtypeStruct((H, nc, 8, tb), jnp.float32),
             ],
             interpret=interpret,
             compiler_params=pltpu.CompilerParams(
@@ -892,7 +942,7 @@ def _bwd_col_pass(B, s1, s2, m, l, t, Wh, g_out, *, alpha, interpret,
         ds2 = jnp.concatenate([p[1] for p in parts], axis=1)
     return (
         jnp.transpose(dWh, (1, 0, 2)).reshape(n_ct * tb, H * F),
-        ds2.T,
+        _unstat(ds2),
     )
 
 
@@ -1021,7 +1071,7 @@ def _flash_hybrid_kernel(
     @pl.when(skind[g] != 1)
     def _():
         m01 = _tile_mask01(a_ref, tb)
-        e = s1_ref[...].reshape(-1, 1) + s2_ref[...]
+        e = s1_ref[0, 0, 0:1, :].reshape(-1, 1) + s2_ref[0, 0, 0:1, :]
         e = jnp.maximum(e, alpha * e)
         _online_update(e + (m01 * _MASK_BIG - _MASK_BIG), wh_ref[0])
 
@@ -1056,7 +1106,7 @@ def _flash_hybrid_kernel(
                 )
                 return
             oh01 = (iota == lr).astype(jnp.float32)
-            e = s1_ref[...].reshape(-1, 1) + sg  # [tb, 1] + [1, K]
+            e = s1_ref[0, 0, 0:1, :].reshape(-1, 1) + sg
             e = jnp.maximum(e, alpha * e)
             _online_update(e + (oh01 * _MASK_BIG - _MASK_BIG), feats)
 
@@ -1064,8 +1114,12 @@ def _flash_hybrid_kernel(
     def _():
         out_ref[0] = acc_ref[:] / jnp.maximum(l_ref[:], 1e-30)
         if m_out is not None:
-            m_out[...] = m_ref[:].reshape(1, -1)
-            l_out[...] = l_ref[:].reshape(1, -1)
+            m_out[0, 0] = jnp.broadcast_to(
+                m_ref[:].reshape(1, -1), m_out.shape[2:]
+            )
+            l_out[0, 0] = jnp.broadcast_to(
+                l_ref[:].reshape(1, -1), l_out.shape[2:]
+            )
 
 
 def _flash_hybrid_kernel_stats(
@@ -1150,7 +1204,9 @@ def flash_gat_hybrid_forward(
         s1 = jnp.pad(s1, ((0, n_rt * tb - s1.shape[0]), (0, 0)))
     if s2.shape[0] != n_ct * tb:
         s2 = jnp.pad(s2, ((0, n_ct * tb - s2.shape[0]), (0, 0)))
-    s1h, s2h, Whh = _hmaj(s1), _hmaj(s2), _hmaj(Wh)
+    s1h = _hstat(_hmaj(s1), tb)
+    s2h = _hstat(_hmaj(s2), tb)
+    Whh = _hmaj(Wh)
 
     S = plan.num_steps
     slices = plan.slices
@@ -1167,8 +1223,10 @@ def flash_gat_hybrid_forward(
     # dynamically by the prefetched chunk id.
     payload = s2g.size * 4 + whg.size * 4 + plan.lrow.size * 4
     resident = payload <= _RESIDENT_CHUNK_BUDGET
+    # +40 MB beyond the resident payload: the stats variant's scoped
+    # needs measured 59 MB at 2^20/tb=1024 against a 44 MB (+24) budget
     vmem_lim = (
-        min(_VMEM_LIMIT, payload + (24 << 20)) if resident else None
+        min(_VMEM_LIMIT, payload + (40 << 20)) if resident else None
     )
 
     def _call(lo, hi, rb_lo, rb_hi):
@@ -1179,8 +1237,8 @@ def flash_gat_hybrid_forward(
             lambda h, g, rb, cb, ti, ch, kd: (h, rb[g] - rb_lo, 0),
         )
         stat_spec = pl.BlockSpec(
-            (1, tb),
-            lambda h, g, rb, cb, ti, ch, kd: (h, rb[g] - rb_lo),
+            (1, 1, 8, tb),
+            lambda h, g, rb, cb, ti, ch, kd: (h, rb[g] - rb_lo, 0, 0),
         )
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=5,
@@ -1191,12 +1249,12 @@ def flash_gat_hybrid_forward(
                     lambda h, g, rb, cb, ti, ch, kd: (ti[g], 0, 0),
                 ),
                 pl.BlockSpec(
-                    (1, tb),
-                    lambda h, g, rb, cb, ti, ch, kd: (h, rb[g]),
+                    (1, 1, 8, tb),
+                    lambda h, g, rb, cb, ti, ch, kd: (h, rb[g], 0, 0),
                 ),
                 pl.BlockSpec(
-                    (1, tb),
-                    lambda h, g, rb, cb, ti, ch, kd: (h, cb[g]),
+                    (1, 1, 8, tb),
+                    lambda h, g, rb, cb, ti, ch, kd: (h, cb[g], 0, 0),
                 ),
                 pl.BlockSpec(
                     (1, tb, F),
@@ -1239,7 +1297,7 @@ def flash_gat_hybrid_forward(
             ],
         )
         out_shape = jax.ShapeDtypeStruct((H, nr * tb, F), jnp.float32)
-        stat_shape = jax.ShapeDtypeStruct((H, nr * tb), jnp.float32)
+        stat_shape = jax.ShapeDtypeStruct((H, nr, 8, tb), jnp.float32)
         T = B.num_tiles
         return pl.pallas_call(
             partial(
@@ -1305,7 +1363,7 @@ def flash_gat_hybrid_forward(
 
     if return_stats:
         out, m, l = res
-        return shape_out(out), m.T, l.T
+        return shape_out(out), _unstat(m), _unstat(l)
     return shape_out(res)
 
 

@@ -289,8 +289,10 @@ def train_node_classifier_sampled(
     ``prepare`` engages the prepared backends on BOTH paths: the full
     graph once (evaluation), and each sampled batch at staging time. Batch
     preps keep one compiled step program via the sticky pad floors the
-    sampler already applies (node/edge counts) plus sticky TILE-count
-    padding (pad_bsr_tile_count) for any attached tile plans.
+    sampler already applies (node/edge counts) plus sticky TILE-count and
+    FUSED-schedule padding (_pad_prep_tiles: pad_bsr_tile_count +
+    pad_fused_plan), so the flagship one-pass kernel runs in the sampled
+    product path too (r5 — r4 dropped the fused plans here).
     """
     from sgracex1_tpu.graph.sampling import make_neighbor_batches
 

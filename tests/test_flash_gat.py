@@ -423,7 +423,8 @@ def test_prepare_attaches_hybrid_flash_split(rng, monkeypatch):
     # force the hybrid regime on this small graph (the real chooser only
     # picks it at power-law scale)
     monkeypatch.setattr(
-        dm, "_choose_flash_plan", lambda A, n, hybrid=True: (64, False, 3)
+        dm, "_choose_flash_plan",
+        lambda A, n, hybrid=True, train=True: (64, False, 3),
     )
     prep = dm.prepare_adjacency(A, method="xla", for_gat=True)
     assert prep.gat_bsr is not None and prep.gat_rest is not None
