@@ -1223,10 +1223,14 @@ def flash_gat_hybrid_forward(
     # dynamically by the prefetched chunk id.
     payload = s2g.size * 4 + whg.size * 4 + plan.lrow.size * 4
     resident = payload <= _RESIDENT_CHUNK_BUDGET
-    # +40 MB beyond the resident payload: the stats variant's scoped
-    # needs measured 59 MB at 2^20/tb=1024 against a 44 MB (+24) budget
+    # the stats variant (training fwd) needs more scratch than the
+    # budget arithmetic suggests — Mosaic's scoped demand grew with the
+    # budget itself (59 M at a 44 M cap, 62.7 M at 60 M; r5 bench) —
+    # so it simply gets the full backward-tier budget
     vmem_lim = (
-        min(_VMEM_LIMIT, payload + (40 << 20)) if resident else None
+        (_VMEM_LIMIT if return_stats else
+         min(_VMEM_LIMIT, payload + (40 << 20)))
+        if resident else None
     )
 
     def _call(lo, hi, rb_lo, rb_hi):
