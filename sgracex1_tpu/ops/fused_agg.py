@@ -118,6 +118,9 @@ class FusedAggPlan:
 # ~214 KB; the 2^23 one failed at 25k / ~503 KB)
 _MAX_STEPS = 8192
 
+# GCN fused kernel: chunk payload (G rows + lrow) residency budget
+_RESIDENT_G_BUDGET = 56 << 20
+
 
 def _chunk_cost_s(K: int, P: int = 128) -> float:
     """Per-rest-chunk seconds (grid-step overhead + max(DMA, MXU))."""
@@ -515,7 +518,7 @@ def pad_fused_plan(
 def _fused_kernel(
     srb, scb, stile, schunk, skind,
     a_ref, h_ref, g_ref, lrow_ref, *scale_refs,
-    tb: int, K: int, with_scales: bool,
+    tb: int, K: int, with_scales: bool, resident: bool = False,
 ):
     if with_scales:
         cs_ref, rs_ref, out_ref, acc_ref = scale_refs
@@ -551,7 +554,16 @@ def _fused_kernel(
         # one-hot scatter of K pre-gathered rest rows into the resident
         # accumulator: rows ride the MXU, dead slots (lrow == tb) match
         # no output row and add zero
-        l = lrow_ref[0, 0:1, :]  # [1, K] f32 local rows
+        if resident:
+            # VMEM-resident chunk payloads, dynamically indexed by the
+            # prefetched chunk id (per-step small-block streaming pays
+            # exposed DMA latency — the flash kernels' r5 lesson)
+            ch = schunk[g]
+            l = lrow_ref[ch, 0:1, :]
+            gv = g_ref[ch]
+        else:
+            l = lrow_ref[0, 0:1, :]  # [1, K] f32 local rows
+            gv = g_ref[0]
         # iota is integer-only in Mosaic; the compare runs in f32 (exact
         # for values <= tb, and v5e's small-int vector compare is weak)
         iota = jax.lax.broadcasted_iota(jnp.int32, (tb, K), 0).astype(
@@ -559,7 +571,7 @@ def _fused_kernel(
         )
         oh = (iota == l).astype(jnp.bfloat16)
         acc_ref[:] += jax.lax.dot_general(
-            oh, g_ref[0], (((1,), (0,)), ((), ())),
+            oh, gv, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
 
@@ -599,14 +611,35 @@ def bsr_spmm_fused(
     if Hb.shape[0] != n_ct * tb:
         Hb = jnp.pad(Hb, ((0, n_ct * tb - Hb.shape[0]), (0, 0)))
 
+    # chunk payloads VMEM-resident when they fit (one bulk DMA instead
+    # of per-step small blocks whose latency is exposed — r5)
+    payload = G.size * 2 + plan.lrow.size * 4
+    resident = payload <= _RESIDENT_G_BUDGET
+    if resident:
+        chunk_specs = [
+            pl.BlockSpec(
+                G.shape, lambda g, rb, cb, ti, ch, kd: (0, 0, 0)
+            ),
+            pl.BlockSpec(
+                plan.lrow.shape,
+                lambda g, rb, cb, ti, ch, kd: (0, 0, 0),
+            ),
+        ]
+    else:
+        chunk_specs = [
+            pl.BlockSpec(
+                (1, K, P), lambda g, rb, cb, ti, ch, kd: (ch[g], 0, 0)
+            ),
+            pl.BlockSpec(
+                (1, 8, K), lambda g, rb, cb, ti, ch, kd: (ch[g], 0, 0)
+            ),
+        ]
     in_specs = [
         pl.BlockSpec(
             (1, tb, inner), lambda g, rb, cb, ti, ch, kd: (ti[g], 0, 0)
         ),
         pl.BlockSpec((tb, P), lambda g, rb, cb, ti, ch, kd: (cb[g], 0)),
-        pl.BlockSpec((1, K, P), lambda g, rb, cb, ti, ch, kd: (ch[g], 0, 0)),
-        pl.BlockSpec((1, 8, K), lambda g, rb, cb, ti, ch, kd: (ch[g], 0, 0)),
-    ]
+    ] + chunk_specs
     operands = [B.tiles, Hb, G, plan.lrow]
     if with_scales:
         in_specs += [
@@ -638,13 +671,21 @@ def bsr_spmm_fused(
         )
         return pl.pallas_call(
             _functools.partial(
-                _fused_kernel, tb=tb, K=K, with_scales=with_scales
+                _fused_kernel, tb=tb, K=K, with_scales=with_scales,
+                resident=resident,
             ),
             grid_spec=grid_spec,
             out_shape=jax.ShapeDtypeStruct(
                 ((rb_hi - rb_lo) * tb, P), jnp.bfloat16
             ),
             interpret=interpret,
+            **({} if not resident else dict(
+                compiler_params=pltpu.CompilerParams(
+                    vmem_limit_bytes=min(
+                        100 << 20, payload + (40 << 20)
+                    )
+                )
+            )),
             cost_estimate=pl.CostEstimate(
                 flops=int(
                     frac

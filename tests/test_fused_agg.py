@@ -253,3 +253,19 @@ def test_k_steps_schedule_parity(rng, k):
     np.testing.assert_allclose(ok, o1, rtol=1e-6, atol=1e-6)
     np.testing.assert_allclose(ok, mat @ np.asarray(H), rtol=2e-2,
                                atol=2e-2)
+
+
+def test_resident_and_streamed_chunk_modes_match(rng, monkeypatch):
+    """The VMEM-resident chunk payload mode (payload under budget) and
+    the streamed fallback produce identical aggregations."""
+    from sgracex1_tpu.ops import fused_agg as fa
+
+    A, mat = _skewed_rank1_graph(rng, n=4096)
+    prep = prepare_adjacency(A, method="hybrid", tb=128)
+    H = jnp.asarray(rng.standard_normal((A.n_cols, 128)).astype(np.float32))
+    res = np.asarray(fa.bsr_spmm_fused(prep.fused, H))
+    monkeypatch.setattr(fa, "_RESIDENT_G_BUDGET", 0)
+    stream = np.asarray(fa.bsr_spmm_fused(prep.fused, H))
+    np.testing.assert_allclose(stream, res, rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(res, mat @ np.asarray(H), rtol=2e-2,
+                               atol=2e-2)
