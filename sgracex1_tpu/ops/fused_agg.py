@@ -210,11 +210,16 @@ def build_fused_plan(
             for j in range(nc[b]):
                 k = int(min(K, cnt - j * K))
                 e = slice(base + j * K, base + j * K + k)
-                lrow[cid, 0, :k] = (rows[e] - b * tb).astype(np.float32)
+                # slot order within a chunk is semantically free (the
+                # one-hot sums over slots) — sort by COLUMN so the
+                # in-jit G gather reads ascending addresses
+                sub = np.argsort(cols[e], kind="stable")
+                ec, er = cols[e][sub], rows[e][sub]
+                lrow[cid, 0, :k] = (er - b * tb).astype(np.float32)
                 sl = slice(cid * K, cid * K + k)
-                slot_col[sl] = cols[e]
+                slot_col[sl] = ec
                 slot_scale[sl] = (
-                    r1_col[cols[e]] if rank1 else vals[e]
+                    r1_col[ec] if rank1 else vals[e][sub]
                 )
                 cid += 1
     else:
