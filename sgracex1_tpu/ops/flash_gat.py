@@ -1088,8 +1088,8 @@ def _flash_hybrid_kernel(
                 # resident payloads pay ONE bulk DMA per call instead
                 ch = schunk[g]
                 lr = lrow_ref[ch, 0:1, :]  # [1, K]
-                sg = s2g_ref[hh, ch, 0:1, :]
-                feats = whg_ref[hh, ch]  # [K, F]
+                sg = s2g_ref[0, ch, 0:1, :]  # head via the index map
+                feats = whg_ref[0, ch]  # [K, F]
             else:
                 lr = lrow_ref[0, 0:1, :]  # [1, K] f32 rows (tb = dead)
                 sg = s2g_ref[0, 0, 0:1, :]
@@ -1221,15 +1221,23 @@ def flash_gat_hybrid_forward(
     # unconditionally and the transfers are too small to pipeline.
     # Resident payloads are fetched once per call and indexed
     # dynamically by the prefetched chunk id.
-    payload = s2g.size * 4 + whg.size * 4 + plan.lrow.size * 4
-    resident = payload <= _RESIDENT_CHUNK_BUDGET
+    # residency is PER HEAD: the chunk payload blocks are indexed by the
+    # grid's head dim, so one head's slice is fetched per h-sweep (H
+    # bulk DMAs per call). Mosaic DOUBLE-BUFFERS the resident operands
+    # (H=4 pubmed: scoped demand 120.9 M against a 40 M payload cap —
+    # r5 bench), so residency is priced at 2x the per-head payload;
+    # larger payloads stream per-step instead
+    payload = (
+        (s2g.size * 4 + whg.size * 4) // H + plan.lrow.size * 4
+    )
+    resident = 2 * payload + (48 << 20) <= _VMEM_LIMIT
     # the stats variant (training fwd) needs more scratch than the
     # budget arithmetic suggests — Mosaic's scoped demand grew with the
     # budget itself (59 M at a 44 M cap, 62.7 M at 60 M; r5 bench) —
     # so it simply gets the full backward-tier budget
     vmem_lim = (
         (_VMEM_LIMIT if return_stats else
-         min(_VMEM_LIMIT, payload + (40 << 20)))
+         min(_VMEM_LIMIT, 2 * payload + (48 << 20)))
         if resident else None
     )
 
@@ -1266,12 +1274,12 @@ def flash_gat_hybrid_forward(
                 ),
             ] + ([
                 pl.BlockSpec(
-                    s2g.shape,
-                    lambda h, g, rb, cb, ti, ch, kd: (0, 0, 0, 0),
+                    (1,) + s2g.shape[1:],
+                    lambda h, g, rb, cb, ti, ch, kd: (h, 0, 0, 0),
                 ),
                 pl.BlockSpec(
-                    whg.shape,
-                    lambda h, g, rb, cb, ti, ch, kd: (0, 0, 0, 0),
+                    (1,) + whg.shape[1:],
+                    lambda h, g, rb, cb, ti, ch, kd: (h, 0, 0, 0),
                 ),
                 pl.BlockSpec(
                     plan.lrow.shape,
