@@ -524,6 +524,7 @@ def _fused_kernel(
     srb, scb, stile, schunk, skind,
     a_ref, h_ref, g_ref, lrow_ref, *scale_refs,
     tb: int, K: int, with_scales: bool, resident: bool = False,
+    group: int = 1, rb_lo: int = 0,
 ):
     if with_scales:
         cs_ref, rs_ref, out_ref, acc_ref = scale_refs
@@ -531,11 +532,30 @@ def _fused_kernel(
         out_ref, acc_ref = scale_refs
     g = pl.program_id(0)
     S = pl.num_programs(0)
-    first = jnp.logical_or(g == 0, srb[g] != srb[jnp.maximum(g - 1, 0)])
+    if group == 1:
+        first = jnp.logical_or(
+            g == 0, srb[g] != srb[jnp.maximum(g - 1, 0)]
+        )
+    else:
+        # output blocks span ``group`` row blocks: zero the whole
+        # grouped accumulator at the first step of each GROUP
+        gid = (srb[g] - rb_lo) // group
+        first = jnp.logical_or(
+            g == 0,
+            gid != (srb[jnp.maximum(g - 1, 0)] - rb_lo) // group,
+        )
+        sub = (srb[g] - rb_lo) % group  # leading-dim accumulator slot
 
     @pl.when(first)
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    def _acc_add(v):
+        if group == 1:
+            acc_ref[:] += v
+        else:
+            # dynamic leading-dim index — an address offset, no relayout
+            acc_ref[sub] += v
 
     # universal kind semantics: != 1 -> tile, >= 1 -> chunk (3 = both)
     @pl.when(skind[g] != 1)
@@ -549,10 +569,10 @@ def _fused_kernel(
         if with_scales:
             # row 0 of the (1, 8, tb) block -> [tb, 1] column relayout
             h = h * cs_ref[0, 0:1, :].reshape(-1, 1).astype(jnp.bfloat16)
-        acc_ref[:] += jax.lax.dot_general(
+        _acc_add(jax.lax.dot_general(
             a, h, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )
+        ))
 
     @pl.when(skind[g] >= 1)
     def _():
@@ -575,28 +595,44 @@ def _fused_kernel(
             jnp.float32
         )
         oh = (iota == l).astype(jnp.bfloat16)
-        acc_ref[:] += jax.lax.dot_general(
+        _acc_add(jax.lax.dot_general(
             oh, gv, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )
+        ))
 
-    last = jnp.logical_or(g == S - 1, srb[g + 1] != srb[g])
+    if group == 1:
+        last = jnp.logical_or(g == S - 1, srb[g + 1] != srb[g])
+    else:
+        last = jnp.logical_or(
+            g == S - 1, (srb[g + 1] - rb_lo) // group != gid
+        )
 
     @pl.when(last)
     def _():
         o = acc_ref[:]
         if with_scales:
-            o = o * rs_ref[0, 0:1, :].reshape(-1, 1)
+            if group == 1:
+                o = o * rs_ref[0, 0:1, :].reshape(-1, 1)
+            else:
+                # (group, 1, tb) -> (group, tb, 1): unit-dim move only
+                o = o * rs_ref[:, 0:1, :].reshape(group, tb, 1)
         out_ref[:] = o.astype(out_ref.dtype)
 
 
 def bsr_spmm_fused(
-    plan: FusedAggPlan, H: jax.Array, *, interpret: bool | None = None
+    plan: FusedAggPlan, H: jax.Array, *, interpret: bool | None = None,
+    group: int = 1,
 ) -> jax.Array:
     """out = A @ H for A = diag(r1_row) . M_tiles . diag(r1_col) + rest
     (or A = tiles + rest in value mode), in one kernel pass. Returns
     bf16 [n_rows, P] (the accumulator is f32 VMEM scratch; the halved
-    output DMA is part of the point)."""
+    output DMA is part of the point).
+
+    ``group`` maps ``group`` consecutive row blocks onto ONE output
+    block (accumulator becomes (group, tb, P) scratch indexed by the
+    step's row block mod group): short tile runs pay an output-block
+    drain per RUN (~0.61/3.86 us at tb=256/1024 — DESIGN §1.2d), and
+    grouping divides the number of drains by ``group``."""
     B = plan.B
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -665,24 +701,53 @@ def bsr_spmm_fused(
     def _call(lo: int, hi: int, rb_lo: int, rb_hi: int) -> jax.Array:
         n_steps = hi - lo
         frac = n_steps / S
+        nr = rb_hi - rb_lo
+        if group == 1:
+            out_specs = pl.BlockSpec(
+                (tb, P), lambda g, rb, cb, ti, ch, kd: (rb[g] - rb_lo, 0)
+            )
+            out_shape = jax.ShapeDtypeStruct((nr * tb, P), jnp.bfloat16)
+            scratch = [pltpu.VMEM((tb, P), jnp.float32)]
+            call_specs, call_ops = in_specs, operands
+        else:
+            nr_pad = _round_up(nr, group)
+            out_specs = pl.BlockSpec(
+                (group, tb, P),
+                lambda g, rb, cb, ti, ch, kd: ((rb[g] - rb_lo) // group, 0, 0),
+            )
+            out_shape = jax.ShapeDtypeStruct(
+                (nr_pad, tb, P), jnp.bfloat16
+            )
+            scratch = [pltpu.VMEM((group, tb, P), jnp.float32)]
+            call_specs, call_ops = list(in_specs), list(operands)
+            if with_scales:
+                # rowscale re-blocked per call: (group, 8, tb) blocks
+                # over the slice's row range, indexed by group id
+                rs = plan.rowscale[rb_lo:rb_hi]
+                rs = jnp.pad(
+                    rs, ((0, nr_pad - nr), (0, 0), (0, 0))
+                )
+                call_specs[-1] = pl.BlockSpec(
+                    (group, 8, tb),
+                    lambda g, rb, cb, ti, ch, kd: (
+                        (rb[g] - rb_lo) // group, 0, 0
+                    ),
+                )
+                call_ops[-1] = rs
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=5,
             grid=(n_steps,),
-            in_specs=in_specs,
-            out_specs=pl.BlockSpec(
-                (tb, P), lambda g, rb, cb, ti, ch, kd: (rb[g] - rb_lo, 0)
-            ),
-            scratch_shapes=[pltpu.VMEM((tb, P), jnp.float32)],
+            in_specs=call_specs,
+            out_specs=out_specs,
+            scratch_shapes=scratch,
         )
         return pl.pallas_call(
             _functools.partial(
                 _fused_kernel, tb=tb, K=K, with_scales=with_scales,
-                resident=resident,
+                resident=resident, group=group, rb_lo=rb_lo,
             ),
             grid_spec=grid_spec,
-            out_shape=jax.ShapeDtypeStruct(
-                ((rb_hi - rb_lo) * tb, P), jnp.bfloat16
-            ),
+            out_shape=out_shape,
             interpret=interpret,
             **({} if not resident else dict(
                 compiler_params=pltpu.CompilerParams(
@@ -716,10 +781,16 @@ def bsr_spmm_fused(
             plan.step_tile[lo:hi],
             plan.step_chunk[lo:hi],
             plan.step_kind[lo:hi],
-            *operands,
+            *call_ops,
         )
 
-    parts = [_call(*sl) for sl in slices]
+    def _flat(part, sl):
+        if group == 1:
+            return part
+        # drop the group-alignment padding rows appended to this slice
+        return part.reshape(-1, P)[: (sl[3] - sl[2]) * tb]
+
+    parts = [_flat(_call(*sl), sl) for sl in slices]
     out = parts[0] if len(parts) == 1 else jnp.concatenate(parts)
     return out[: B.n_rows]
 

@@ -255,6 +255,41 @@ def test_k_steps_schedule_parity(rng, k):
                                atol=2e-2)
 
 
+@pytest.mark.parametrize("group", [2, 4])
+def test_grouped_output_parity(rng, group, monkeypatch):
+    """The grouped-output probe (group row blocks per output block,
+    bsr_spmm_fused(group=...)) matches group=1 exactly — including on
+    value-mode plans and sliced schedules. Kept as a measured NEGATIVE
+    on hardware (DESIGN §1.2d: 8.28-9.14 ms vs 7.25 at 2^20 for group
+    2-8 — the dynamic-index accumulator costs more than the saved
+    output drains); the parity coverage stays so the probe remains
+    runnable."""
+    from sgracex1_tpu.ops import fused_agg as fa
+
+    A, mat = _skewed_rank1_graph(rng, n=4096)
+    prep = prepare_adjacency(A, method="hybrid", tb=128)
+    H = jnp.asarray(rng.standard_normal((A.n_cols, 128)).astype(np.float32))
+    o1 = np.asarray(fa.bsr_spmm_fused(prep.fused, H))
+    og = np.asarray(fa.bsr_spmm_fused(prep.fused, H, group=group))
+    np.testing.assert_array_equal(og, o1)
+    # sliced schedule: group boundaries fall inside slices
+    monkeypatch.setattr(fa, "_MAX_STEPS", 8)
+    prep_s = prepare_adjacency(A, method="hybrid", tb=128)
+    assert len(prep_s.fused.slices) > 1
+    og_s = np.asarray(fa.bsr_spmm_fused(prep_s.fused, H, group=group))
+    np.testing.assert_array_equal(og_s, o1)
+    # value-mode plan (no rank-1 scalings)
+    Av, matv = _weighted_graph(rng)
+    monkeypatch.setattr(fa, "_MAX_STEPS", 8192)
+    prep_v = prepare_adjacency(Av, method="hybrid", tb=128, rank1=False)
+    Hv = jnp.asarray(
+        rng.standard_normal((Av.n_cols, 128)).astype(np.float32)
+    )
+    ov1 = np.asarray(fa.bsr_spmm_fused(prep_v.fused, Hv))
+    ovg = np.asarray(fa.bsr_spmm_fused(prep_v.fused, Hv, group=group))
+    np.testing.assert_array_equal(ovg, ov1)
+
+
 def test_resident_and_streamed_chunk_modes_match(rng, monkeypatch):
     """The VMEM-resident chunk payload mode (payload under budget) and
     the streamed fallback produce identical aggregations."""
