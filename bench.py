@@ -274,6 +274,29 @@ def phase_pubmed_flash_gat():
     EXTRA["pubmed_flash_gat_pct_roofline"] = rl["pct_roofline"]
     EXTRA["pubmed_flash_gat_bound"] = rl["bound"]
     EXTRA["pubmed_flash_gat_pct_vpu"] = rl["pct_vpu"]
+    if hybrid:
+        # the roofline above is vs the PURE score-math roof; on a hybrid
+        # layout at cache-resident scale the per-call fixed work (slot
+        # gathers, run drains, chunk steps) dominates, so also attribute
+        # against the calibrated LAYOUT model the chooser used — the
+        # number that says whether the kernel hit its own cost model
+        from sgracex1_tpu.ops import dispatch as _d
+
+        srb = np.asarray(prep.gat_plan.step_rb)[:-1]
+        n_runs = int((np.r_[True, srb[1:] != srb[:-1]]).sum())
+        packed = B.tiles.shape[-1] != B.tb
+        model_s = (
+            B.num_tiles * _d._flash_tile_s(B.tb, packed)
+            + n_runs * _d._flash_run_s(B.tb)
+            + n_ch * _d._flash_chunk_s(B.tb, n_ch)
+            + _d._FLASH_HYBRID_FIXED_S
+        )
+        pct_model = round(100.0 * model_s / sec, 1)
+        log(
+            f"  hybrid layout model {model_s*1e3:.3f} ms -> measured is "
+            f"{pct_model}% of model (roofline % is vs pure score-math)"
+        )
+        EXTRA["pubmed_flash_gat_pct_model"] = pct_model
 
     # full training step: fwd + fused flash backward + Adam on (W, att)
     import optax
