@@ -47,7 +47,7 @@ def run(n_log2: int, train: bool = False):
     # merged-stats backward into the (tb, packed, thresh) choice.
     prep = prepare_adjacency(
         A, method="xla", for_gat=True, gat_train=train,
-        build_transpose=False,
+        build_transpose=train,
     )
     prep = jax.device_put(prep)
     prep_s = time.time() - t0
