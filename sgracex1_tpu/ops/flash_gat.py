@@ -1230,14 +1230,21 @@ def flash_gat_hybrid_forward(
     payload = (
         (s2g.size * 4 + whg.size * 4) // H + plan.lrow.size * 4
     )
-    resident = 2 * payload + (48 << 20) <= _VMEM_LIMIT
+    # Mosaic's measured scoped demand for resident per-head payloads:
+    # ~2x per-head size at H=1 (double-buffered whole-array operands),
+    # but ~3.2x at H>1 — the h-indexed payload slices keep an extra
+    # in-flight copy across the head sweep (2^20 H=4 demanded 116.4M
+    # against the 2x-priced 88M cap and OOMed at compile; pubmed H=4,
+    # 48 + 3.2x11.6M = 85M, fits and runs). Larger payloads stream.
+    fac = 2.0 if H == 1 else 3.3
+    resident = int(fac * payload) + (48 << 20) <= _VMEM_LIMIT
     # the stats variant (training fwd) needs more scratch than the
     # budget arithmetic suggests — Mosaic's scoped demand grew with the
     # budget itself (59 M at a 44 M cap, 62.7 M at 60 M; r5 bench) —
     # so it simply gets the full backward-tier budget
     vmem_lim = (
         (_VMEM_LIMIT if return_stats else
-         min(_VMEM_LIMIT, 2 * payload + (48 << 20)))
+         min(_VMEM_LIMIT, int(fac * payload) + (48 << 20)))
         if resident else None
     )
 
