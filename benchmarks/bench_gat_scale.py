@@ -20,13 +20,16 @@ import time
 import numpy as np
 
 
-def run(n_log2: int, train: bool = False):
+def run(n_log2: int, train: bool = False, products: bool = False):
     import jax
     import jax.numpy as jnp
     import optax
 
     from benchmarks.common import timed_loop
-    from sgracex1_tpu.graph.datasets import powerlaw_node_classification
+    from sgracex1_tpu.graph.datasets import (
+        powerlaw_node_classification,
+        products_density_graph,
+    )
     from sgracex1_tpu.graph.normalize import sym_norm
     from sgracex1_tpu.graph.reorder import degree_order, permute_graph
     from sgracex1_tpu.ops.dispatch import prepare_adjacency
@@ -34,9 +37,14 @@ def run(n_log2: int, train: bool = False):
 
     n = 1 << n_log2
     t0 = time.time()
-    data = powerlaw_node_classification(
-        n=n, avg_degree=16, num_features=8, seed=0
-    )
+    if products:
+        # north-star DENSITY row (~29 real edges/node, ogbn-products
+        # class — see BASELINE.md) for the ATTENTION path
+        data = products_density_graph(n, num_features=8, seed=0)
+    else:
+        data = powerlaw_node_classification(
+            n=n, avg_degree=16, num_features=8, seed=0
+        )
     A = sym_norm(data.edge_index, data.num_nodes)
     A, _ = permute_graph(A, degree_order(A))
     gen_s = time.time() - t0
@@ -123,9 +131,10 @@ def run(n_log2: int, train: bool = False):
 def main():
     args = [a for a in sys.argv[1:] if not a.startswith("-")]
     train = "--train" in sys.argv[1:]
+    products = "--products" in sys.argv[1:]
     sizes = [int(a) for a in args] or [20, 21]
     for s in sizes:
-        run(s, train=train)
+        run(s, train=train, products=products)
 
 
 if __name__ == "__main__":
